@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
+``oracle_sql()`` expose each implemented operator with its DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from python_fmask_spark import oracle  # noqa: E402
+from python_fmask_spark.dialect import DUCKDB, SPARK  # noqa: E402
+from python_fmask_spark.sources import register_views  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+# name -> builder(dialect) returning a full SQL string over the
+# pre-registered views. Spark runs the SPARK rendering (declarative,
+# Catalyst-optimized); the driver runs the DUCKDB rendering as oracle.
+_SQL_QUERIES: dict[str, Callable[[str], str]] = {
+    "documents_wide": oracle.q_documents_wide,
+    "geocode_cells": oracle.q_geocode_cells,
+    "pass1_cell_counts": oracle.q_pass1_cell_counts,
+    "pass1_thresholds": oracle.q_pass1_thresholds,
+    "pass2_probs": oracle.q_pass2_probs,
+    "cloud_interim": oracle.q_cloud_interim,
+    "fmask_interim_class": oracle.q_fmask_interim_class,
+}
+
+
+def _make_sql_query(builder: Callable[[str], str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(builder(SPARK))
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-cell PCP/water/snow classification counts at sf0.001."""
+    register_views(spark, SF0001)
+    return spark.sql(oracle.q_pass1_cell_counts(SPARK))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, builder in _SQL_QUERIES.items():
+        out[name] = _make_sql_query(builder)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: builder(DUCKDB) for name, builder in _SQL_QUERIES.items()}

@@ -1,0 +1,540 @@
+"""Single-source deterministic derivations, rendered per SQL dialect.
+
+The engine's synthetic-scene derivation chain is:
+
+    documents(doc_id, text, lang, source, n_chars)           [driver parquet]
+      -> documents_wide(url, warc_ts, html, text, lang)      [input_hint shape]
+      -> doc_features(cell_id, r, c, bands..., angles...)    [FIXTURES.md §2]
+      -> pass1 / pass2 / pass3 columns                       [fmask transcription]
+
+Every column is defined ONCE here as a dialect-parameterized SQL fragment,
+so the Spark pipeline (``F.expr``) and the DuckDB oracle run literally the
+same formula. fmask formula provenance is cited per column
+(file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from . import constants as C
+from .dialect import (
+    DUCKDB,
+    SPARK,
+    cast_str,
+    idiv,
+    jitter,
+    md5_slice_int,
+    round_half_even,
+    to_blob,
+    ts_add_seconds,
+)
+
+def _dbl(x: str) -> str:
+    """Force DOUBLE: Spark treats decimal literals as DECIMAL type, whose
+    arithmetic/rounding rules differ from DuckDB's DOUBLE — every division
+    site is cast explicitly so both dialects compute IEEE float64."""
+    return f"cast({x} as double)"
+
+
+# ---------------------------------------------------------------------------
+# documents_wide: input_hint shape (url, warc_ts, html, text, lang)
+# ---------------------------------------------------------------------------
+
+
+def documents_wide_exprs(d: str) -> dict[str, str]:
+    """Column exprs over the raw ``documents`` driver table."""
+    url = f"concat('https://', source, '.example/p/', {cast_str('doc_id', d)})"
+    return {
+        "url": url,
+        "warc_ts": ts_add_seconds("timestamp '2024-01-01 00:00:00'", "doc_id", d),
+        "html": to_blob("concat('<html>', text, '</html>')", d),
+        "text": "text",
+        "lang": "lang",
+    }
+
+
+def documents_wide_sql(d: str, table: str = "documents") -> str:
+    cols = documents_wide_exprs(d)
+    select = ", ".join(f"{e} AS {n}" for n, e in cols.items())
+    return f"SELECT {select} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# geocode + cell index (pseudo-H3: fixed-resolution lat/lon grid)
+# ---------------------------------------------------------------------------
+
+
+def geo_exprs(d: str) -> dict[str, str]:
+    """domain -> (lat, lon) -> grid cell. Deterministic, SQL-only."""
+    domain = "split_part(url, '/', 3)"
+    lat = f"({_dbl(f'({md5_slice_int(domain, 1, 8, d)} % 180000)')} / 1000.0 - 90.0)"
+    lon = f"({_dbl(f'({md5_slice_int(domain, 9, 8, d)} % 360000)')} / 1000.0 - 180.0)"
+    step = C.CELL_DEG
+    cell_x = f"cast(floor((lon + 180.0) / {step}) as int)"
+    cell_y = f"cast(floor((lat + 90.0) / {step}) as int)"
+    n_x = int(round(360.0 / step))
+    cell_id = f"concat('h3_', {cast_str(f'(cell_y * {n_x} + cell_x)', d)})"
+    return {
+        "domain": domain,
+        "lat": lat,
+        "lon": lon,
+        "cell_x": cell_x,
+        "cell_y": cell_y,
+        "cell_id": cell_id,
+    }
+
+
+# ---------------------------------------------------------------------------
+# synthetic spectral bands (DN, reflectance x 10000) from text hashes
+# ---------------------------------------------------------------------------
+
+# Latent surface classes (percent bands of latent in [0,100)):
+#   [0,14)  cloud-like   [14,25) water-like  [25,35) snow-like
+#   [35,45) dark land    [45,97) bright land [97,100) nodata
+LATENT_CLOUD_HI = 14
+LATENT_WATER_HI = 25
+LATENT_SNOW_HI = 35
+LATENT_DARK_HI = 45
+LATENT_NULL_LO = 97
+
+
+def band_exprs(d: str) -> dict[str, str]:
+    """DN band columns keyed off ``latent`` and ``bright`` columns
+    (which must already exist in the enclosing SELECT layer)."""
+    t = "text"
+    t2 = "concat(text, '_t')"
+
+    def J(start: int, mod: int) -> str:
+        return jitter(t, start, mod, d)
+
+    def J2(start: int, mod: int) -> str:
+        return jitter(t2, start, mod, d)
+
+    def case(cloud: str, water: str, snow: str, dark: str, land: str) -> str:
+        return (
+            f"cast(case when latent >= {LATENT_NULL_LO} then 0 "
+            f"when latent < {LATENT_CLOUD_HI} then {cloud} "
+            f"when latent < {LATENT_WATER_HI} then {water} "
+            f"when latent < {LATENT_SNOW_HI} then {snow} "
+            f"when latent < {LATENT_DARK_HI} then {dark} "
+            f"else {land} end as int)"
+        )
+
+    return {
+        # visible + IR bands: cloud is bright & white (shared `bright` term),
+        # water is dark in NIR/SWIR, snow has high NDSI, dark land is the
+        # potential-shadow source, bright land is vegetated.
+        "blue": case(
+            f"bright + {J(9, 500)} - 250", f"400 + {J(9, 400)}",
+            f"3000 + {J(9, 800)}", f"300 + {J(9, 300)}", f"1000 + {J(9, 800)}"),
+        "green": case(
+            f"bright + {J(13, 500)} - 250", f"500 + {J(13, 400)}",
+            f"5000 + {J(13, 2000)}", f"400 + {J(13, 300)}", f"1200 + {J(13, 900)}"),
+        "red": case(
+            f"bright + {J(17, 500)} - 250", f"600 + {J(17, 600)}",
+            f"3000 + {J(17, 1000)}", f"400 + {J(17, 300)}", f"1300 + {J(17, 1000)}"),
+        "nir": case(
+            f"bright + {J(21, 600)} - 300", f"100 + {J(21, 300)}",
+            f"1500 + {J(21, 800)}", f"500 + {J(21, 400)}", f"3000 + {J(21, 1500)}"),
+        "swir1": case(
+            f"bright - 1000 + {J(25, 600)}", f"100 + {J(25, 150)}",
+            f"800 + {J(25, 400)}", f"600 + {J(25, 300)}", f"2000 + {J(25, 1000)}"),
+        "swir2": case(
+            f"1500 + {J(29, 1500)}", f"60 + {J(29, 150)}",
+            f"500 + {J(29, 300)}", f"400 + {J(29, 200)}", f"1200 + {J(29, 800)}"),
+        "cirrus": case(
+            f"100 + {J(9, 300)}", f"{J(9, 80)}",
+            f"{J(9, 60)}", f"{J(9, 50)}", f"{J(9, 70)}"),
+        # thermal DN: cold for cloud/snow, warm for water/land
+        # (rad = dn*0.01 -> T via K1/K2, constants.py)
+        "therm_dn": case(
+            f"430 + {J2(1, 170)}", f"800 + {J2(1, 200)}",
+            f"500 + {J2(1, 100)}", f"850 + {J2(1, 150)}", f"900 + {J2(1, 200)}"),
+        # rare saturation flags (DERM extra test, fmask/fmask.py:414-421)
+        "sat_blue": f"({J2(5, 1000)} < 6)",
+        "sat_green": f"({J2(9, 1000)} < 6)",
+        "sat_red": f"({J2(13, 1000)} < 6)",
+    }
+
+
+def angle_exprs(d: str) -> dict[str, str]:
+    """Per-cell constant sun/view angles in radians (the reference's
+    AnglesByPoint constant variant, fmask/config.py:755-789)."""
+    def ang(start: int, mod: int) -> str:
+        h = _dbl(f"({md5_slice_int('cell_id', start, 6, d)} % {mod})")
+        return f"({h} / 1000.0)"
+
+    return {
+        "sun_az": ang(1, 6283),
+        "sun_zen": f"(0.15 + {ang(7, 900)})",
+        "sat_az": ang(13, 6283),
+        "sat_zen": ang(19, 130),
+    }
+
+
+def features_sql(d: str, docs_sql: str) -> str:
+    """Full doc_features derivation as a CTE chain over documents_wide.
+
+    Pixel layout: within each cell, documents are laid out row-major in
+    url order at fixed raster width SCENE_WIDTH; the cell is one fmask
+    "scene" (the reference processes scenes independently,
+    fmask/fmask.py:96-221)."""
+    geo = geo_exprs(d)
+    bands = band_exprs(d)
+    ang = angle_exprs(d)
+    W = C.SCENE_WIDTH
+
+    geo_sel = ", ".join(f"{e} AS {n}" for n, e in geo.items()
+                        if n in ("domain", "lat", "lon"))
+    latent = f"({md5_slice_int('text', 1, 4, d)} % 100)"
+    bright = f"(6000 + {jitter('text', 5, 2500, d)})"
+    cell_sel = ", ".join(f"{geo[n]} AS {n}" for n in ("cell_x", "cell_y"))
+    band_sel = ", ".join(f"{e} AS {n}" for n, e in bands.items())
+    ang_sel = ", ".join(f"{e} AS {n}" for n, e in ang.items())
+
+    return f"""
+docs AS ({docs_sql}),
+geo0 AS (
+  SELECT url, warc_ts, text, lang, {geo_sel}
+  FROM docs
+),
+geo1 AS (
+  SELECT *, {cell_sel}, {latent} AS latent, {bright} AS bright
+  FROM geo0
+),
+geo2 AS (
+  SELECT *, {geo['cell_id']} AS cell_id
+  FROM geo1
+),
+feat0 AS (
+  SELECT *, {band_sel}
+  FROM geo2
+),
+feat1 AS (
+  SELECT *, {ang_sel},
+    (row_number() OVER (PARTITION BY cell_id ORDER BY url) - 1) AS idx
+  FROM feat0
+),
+features AS (
+  SELECT *,
+    cast({idiv('idx', str(W), d)} as int) AS r,
+    cast(idx % {W} as int) AS c
+  FROM feat1
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# pass 1: potentialCloudFirstPass transcription (fmask/fmask.py:325-469)
+# ---------------------------------------------------------------------------
+
+
+def _ref(band: str) -> str:
+    """DN -> reflectance with the <=0 clamp (fmask/fmask.py:334-336,502-543)."""
+    r = f"{_dbl(band)} / {C.TOA_SCALE}"
+    return f"(case when {r} <= 0 then 0.00001 else {r} end)"
+
+
+def bt_expr() -> str:
+    """Thermal DN -> brightness temperature degC (fmask/config.py:507-521)."""
+    r = f"{_dbl('therm_dn')} * {C.THERMAL_GAIN} + {C.THERMAL_OFFSET}"
+    rad = f"(case when {r} <= 0 then 0.00001 else {r} end)"
+    return f"({C.THERMAL_K2} / ln({C.THERMAL_K1} / {rad} + 1.0) - {C.KELVIN_ZERO_DEGC})"
+
+
+def pass1_sql(d: str) -> str:
+    """CTE chain computing pass-1 layers over ``features``.
+
+    Produces the 8 layers of the reference's pass1 stack
+    (fmask/fmask.py:459-460) plus histogram bins and carried columns."""
+    refs = {b: _ref(b) for b in
+            ("blue", "green", "red", "nir", "swir1", "swir2", "cirrus")}
+    ref_sel = ", ".join(f"{e} AS ref_{n}" for n, e in refs.items())
+
+    whiteness = ("(abs((ref_blue - mean_vis) / mean_vis) + "
+                 "abs((ref_green - mean_vis) / mean_vis) + "
+                 "abs((ref_red - mean_vis) / mean_vis))")
+
+    vprob = ("(case when nullmask then 0.0 else "
+             "1.0 - greatest(abs(mod_ndvi), abs(mod_ndsi), whiteness) end)")
+    vprob_pcnt = (
+        f"cast(least(greatest({round_half_even(f'({vprob} * {C.PROB_SCALE})', d)},"
+        f" {C.BYTE_MIN}), {C.BYTE_MAX}) as int)")
+
+    return f"""
+p1a AS (
+  SELECT *, {ref_sel},
+    {bt_expr()} AS bt,
+    (blue = {C.REF_NULL_DN} OR green = {C.REF_NULL_DN} OR red = {C.REF_NULL_DN}
+     OR nir = {C.REF_NULL_DN} OR swir1 = {C.REF_NULL_DN}
+     OR swir2 = {C.REF_NULL_DN} OR cirrus = {C.REF_NULL_DN}) AS ref_nullmask,
+    (therm_dn = {C.THERM_NULL_DN}) AS therm_nullmask
+  FROM features
+),
+p1b AS (
+  SELECT *,
+    (ref_nullmask OR therm_nullmask) AS nullmask,
+    ((ref_green - ref_swir1) / (ref_green + ref_swir1)) AS ndsi,
+    ((ref_nir - ref_red) / (ref_nir + ref_red)) AS ndvi,
+    ((ref_blue + ref_green + ref_red) / 3.0) AS mean_vis
+  FROM p1a
+),
+p1c AS (
+  SELECT *,
+    (ref_swir2 > {C.EQN1_SWIR2_THRESH} AND ndsi < 0.8 AND ndvi < 0.8
+     AND bt < {C.EQN1_THERM_THRESH}) AS basic_test,
+    {whiteness} AS whiteness0,
+    ((ref_blue - 0.5 * ref_red - 0.08) > 0) AS haze_test,
+    ((ref_nir / ref_swir1) > 0.75) AS b45_test,
+    (NOT nullmask AND ((ndvi < 0.01 AND ref_nir < 0.11)
+      OR (ndvi < 0.1 AND ref_nir < 0.05))) AS water_test,
+    (ref_cirrus > {C.CIRRUS_BAND_TEST_THRESH}) AS cirrus_band_test,
+    ((sat_blue OR sat_green OR sat_red) AND mean_vis > 0.45) AS sat_and_bright
+  FROM p1b
+),
+p1d AS (
+  SELECT *,
+    (NOT nullmask AND (
+      (basic_test AND (whiteness0 < {C.EQN2_WHITENESS_THRESH})
+        AND haze_test AND b45_test)
+      OR cirrus_band_test
+      OR sat_and_bright)) AS pcp,
+    (case when sat_and_bright then 0.0 else whiteness0 end) AS whiteness,
+    (case when sat_green then 0.0 else ndvi end) AS mod_ndvi,
+    (case when sat_red then 0.0 else ndsi end) AS mod_ndsi
+  FROM p1c
+),
+pass1 AS (
+  SELECT *,
+    (NOT nullmask AND water_test
+     AND ref_swir2 < {C.EQN7_SWIR2_THRESH}) AS clear_sky_water,
+    (NOT nullmask AND NOT pcp AND NOT water_test) AS clear_land,
+    {vprob_pcnt} AS variability_prob_pcnt,
+    (NOT nullmask AND ndsi > 0.15 AND ref_nir > {C.EQN20_NIR_SNOW_THRESH}
+     AND ref_green > {C.EQN20_GREEN_SNOW_THRESH}
+     AND bt < {C.EQN20_THERM_THRESH}) AS snow,
+    cast(least(floor(least(greatest(bt + {C.BT_OFFSET}, 0), {C.BT_HISTSIZE})),
+         {C.BT_HISTSIZE - 1}) as int) AS scaled_bt_bin,
+    cast(cast(floor(ref_nir * {C.B4_SCALE}) as bigint) % 256 as int) AS scaled_b4_bin
+  FROM p1d
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# global thresholds as SQL CTEs (scoreatpcnt, fmask/fmask.py:482-499,546-561)
+# ---------------------------------------------------------------------------
+
+
+def scoreatpcnt_cte(hist_cte: str, pcnt: float, out: str) -> str:
+    """Per-cell scoreatpcnt (fmask/fmask.py:482-499): first bin whose
+    cumulative percentage >= pcnt, computed per cell_id (the reference
+    computes thresholds per scene; our scene == cell). Cells absent from
+    the histogram get no row (joins produce NULL == the reference's None)."""
+    return f"""
+{out} AS (
+  SELECT cell_id, min(bin) AS v FROM (
+    SELECT cell_id, bin,
+      cast(sum(cnt) OVER (PARTITION BY cell_id ORDER BY bin) as double) * 100.0 /
+      sum(cnt) OVER (PARTITION BY cell_id) AS cum
+    FROM {hist_cte}) t
+  WHERE cum >= {pcnt} GROUP BY cell_id
+)""".strip()
+
+
+def thresholds_sql(d: str) -> str:
+    """CTEs: per-cell Twater/Tlow/Thigh (Eqns 8,13; fmask/fmask.py:546-561),
+    b4_17 (fmask/fmask.py:315-321), nonNullCount (fmask/fmask.py:285,469).
+
+    This is a small per-cell dimension table — in the Spark pipeline it is
+    broadcast-joined back to the pixels (no global collect barrier)."""
+    return f"""
+wbt_hist AS (
+  SELECT cell_id, scaled_bt_bin AS bin, count(*) AS cnt FROM pass1
+  WHERE clear_sky_water GROUP BY cell_id, scaled_bt_bin
+),
+lbt_hist AS (
+  SELECT cell_id, scaled_bt_bin AS bin, count(*) AS cnt FROM pass1
+  WHERE clear_land GROUP BY cell_id, scaled_bt_bin
+),
+lb4_hist AS (
+  SELECT cell_id, scaled_b4_bin AS bin, count(*) AS cnt FROM pass1
+  WHERE clear_land GROUP BY cell_id, scaled_b4_bin
+),
+{scoreatpcnt_cte('wbt_hist', 82.5, 'twater_t')},
+{scoreatpcnt_cte('lbt_hist', 17.5, 'tlow_t')},
+{scoreatpcnt_cte('lbt_hist', 82.5, 'thigh_t')},
+{scoreatpcnt_cte('lb4_hist', 17.5, 'b4_17_t')},
+thresholds AS (
+  SELECT cells.cell_id,
+    tw.v - {C.BT_OFFSET} AS twater,
+    tl.v - {C.BT_OFFSET} AS tlow,
+    th.v - {C.BT_OFFSET} AS thigh,
+    coalesce(cast(b4.v as double) / {C.B4_SCALE}, 0.01) AS b4_17,
+    cells.non_null_count
+  FROM (
+    SELECT cell_id, sum(case when nullmask then 0 else 1 end) AS non_null_count
+    FROM pass1 GROUP BY cell_id) cells
+  LEFT JOIN twater_t tw ON tw.cell_id = cells.cell_id
+  LEFT JOIN tlow_t tl ON tl.cell_id = cells.cell_id
+  LEFT JOIN thigh_t th ON th.cell_id = cells.cell_id
+  LEFT JOIN b4_17_t b4 ON b4.cell_id = cells.cell_id
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# pass 2: potentialCloudSecondPass transcription (fmask/fmask.py:616-680)
+# ---------------------------------------------------------------------------
+
+
+def pass2_sql(d: str) -> str:
+    """wCloud/lCloud probability (Eqns 9-11,14,16 + Zhu15 Eqns 1-2;
+    fmask/fmask.py:616-680) with the reference's 8-bit quantization
+    (clip then uint8-truncate, fmask/fmask.py:673-676), and the per-cell
+    land threshold (Eqn 17 + 3% fallback, fmask/fmask.py:601-613)."""
+    quant = "cast(floor(least(greatest({p} * %s, %s), %s)) as int)" % (
+        C.PROB_SCALE, C.BYTE_MIN, C.BYTE_MAX)
+    return f"""
+pass2 AS (
+  SELECT p.*,
+    {quant.format(p='w_cloud_prob')} AS wprob_pcnt,
+    {quant.format(p='l_cloud_prob')} AS lprob_pcnt
+  FROM (
+    SELECT p.*,
+      (coalesce((t.twater - p.bt) / 4.0, 1.0)
+        * (least(p.ref_swir1, 0.11) / 0.11)
+        + p.ref_cirrus / {C.CIRRUS_PROB_RATIO}) AS w_cloud_prob,
+      ((case when t.thigh IS NOT NULL AND t.tlow IS NOT NULL
+         then (t.thigh + 4 - p.bt) / ((t.thigh + 4) - (t.tlow - 4))
+         else 1.0 end)
+        * (cast(p.variability_prob_pcnt as double) / {C.PROB_SCALE})
+        + p.ref_cirrus / {C.CIRRUS_PROB_RATIO}) AS l_cloud_prob,
+      t.tlow AS g_tlow, t.thigh AS g_thigh, t.twater AS g_twater,
+      t.b4_17 AS g_b4_17, t.non_null_count AS g_non_null_count
+    FROM pass1 p JOIN thresholds t ON t.cell_id = p.cell_id
+  ) p
+),
+lprob_hist AS (
+  SELECT cell_id, lprob_pcnt AS bin, count(*) AS cnt FROM pass2
+  WHERE clear_land GROUP BY cell_id, lprob_pcnt
+),
+{scoreatpcnt_cte('lprob_hist', 82.5, 'lthr_t')},
+landthr AS (
+  SELECT t.cell_id, case
+    when coalesce(h.total, 0) < 0.03 * cast(t.non_null_count as double)
+      then {C.EQN17_CLOUD_PROB_THRESH}
+    else coalesce(cast(lt.v as double) / {C.PROB_SCALE} + {C.EQN17_CLOUD_PROB_THRESH},
+                  {C.EQN17_CLOUD_PROB_THRESH})
+    end AS land_threshold
+  FROM thresholds t
+  LEFT JOIN (SELECT cell_id, sum(cnt) AS total FROM lprob_hist
+             GROUP BY cell_id) h ON h.cell_id = t.cell_id
+  LEFT JOIN lthr_t lt ON lt.cell_id = t.cell_id
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# pass 3: cloudFinalPass predicate part (fmask/fmask.py:722-759); the 3x3
+# majority buffer (fmask/fmask.py:769-774) is appended by majority3_sql.
+# ---------------------------------------------------------------------------
+
+
+def pass3_sql(d: str) -> str:
+    return f"""
+pass3 AS (
+  SELECT p.*,
+    (NOT p.nullmask AND (
+      (p.pcp AND p.water_test AND (cast(p.wprob_pcnt as double) / {C.PROB_SCALE}) > 0.5)
+      OR (p.pcp AND (NOT p.water_test AND NOT p.nullmask)
+          AND (cast(p.lprob_pcnt as double) / {C.PROB_SCALE}) > lt.land_threshold)
+      OR ((cast(p.lprob_pcnt as double) / {C.PROB_SCALE}) > 0.99
+          AND (NOT p.water_test AND NOT p.nullmask))
+      OR (p.g_tlow IS NOT NULL AND p.bt < (p.g_tlow - 35))
+    )) AS cloud_raw
+  FROM pass2 p JOIN landthr lt ON lt.cell_id = p.cell_id
+)
+""".strip()
+
+
+def neighbor_offsets(radius: float) -> list[tuple[int, int]]:
+    """Offsets of the circular buffer kernel (fmask/fmask.py:1086-1097)."""
+    n = int(radius)
+    out = []
+    for dr in range(-n, n + 1):
+        for dc in range(-n, n + 1):
+            if (dr * dr + dc * dc) ** 0.5 <= radius:
+                out.append((dr, dc))
+    return out
+
+
+def _reflect(expr: str, hi: str) -> str:
+    """Reflect-mode border indexing used by scipy's uniform/maximum_filter
+    (single-pixel offsets only need the one-step clamp form)."""
+    return f"(case when {expr} < 0 then 0 when {expr} >= {hi} then {hi} - 1 else {expr} end)"
+
+
+def majority3_sql(d: str, src: str, flag: str, out: str) -> str:
+    """3x3 >=5-of-9 majority buffer (fmask/fmask.py:769-774) as a
+    9-offset self-join, faithful to uniform_filter's reflect borders."""
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+            (1, -1), (1, 0), (1, 1)]
+    values = ", ".join(f"({a}, {b})" for a, b in offs)
+    W = C.SCENE_WIDTH
+    return f"""
+{src}_h AS (
+  SELECT *, max(r) OVER (PARTITION BY cell_id) + 1 AS cell_h FROM {src}
+),
+offs3 AS (SELECT * FROM (VALUES {values}) AS v(dr, dc)),
+{out} AS (
+  SELECT p.*, (n.n_set >= 5) AS {out}_flag
+  FROM {src}_h p
+  JOIN (
+    SELECT p.url AS _u,
+      sum(case when q.{flag} then 1 else 0 end) AS n_set
+    FROM {src}_h p
+    CROSS JOIN offs3 o
+    LEFT JOIN {src}_h q
+      ON q.cell_id = p.cell_id
+      AND q.r = {_reflect('p.r + o.dr', 'p.cell_h')}
+      AND q.c = {_reflect('p.c + o.dc', str(W))}
+    GROUP BY p.url
+  ) n ON n._u = p.url
+)
+""".strip()
+
+
+def dilate_sql(d: str, src: str, flag: str, out: str, radius: float) -> str:
+    """Circular morphological dilation (maximum_filter with the
+    makeBufferKernel footprint, fmask/fmask.py:1086-1097,1379-1380)
+    as an offsets self-join with reflect borders."""
+    offs = neighbor_offsets(radius)
+    values = ", ".join(f"({a}, {b})" for a, b in offs)
+    W = C.SCENE_WIDTH
+    n = int(radius)
+    # reflect for multi-step offsets: offsets <= radius < cell sizes in
+    # practice; use full reflect formula abs-based (valid while |off| < hi).
+    refl_r = (f"(case when p.r + o.dr < 0 then -(p.r + o.dr) - 1 "
+              f"when p.r + o.dr >= p.cell_h then 2 * p.cell_h - (p.r + o.dr) - 1 "
+              f"else p.r + o.dr end)")
+    refl_c = (f"(case when p.c + o.dc < 0 then -(p.c + o.dc) - 1 "
+              f"when p.c + o.dc >= {W} then 2 * {W} - (p.c + o.dc) - 1 "
+              f"else p.c + o.dc end)")
+    return f"""
+offs_{out} AS (SELECT * FROM (VALUES {values}) AS v(dr, dc)),
+{out} AS (
+  SELECT p.*, (n.n_set > 0) AS {out}_flag
+  FROM {src} p
+  JOIN (
+    SELECT p.url AS _u,
+      sum(case when q.{flag} then 1 else 0 end) AS n_set
+    FROM {src} p
+    CROSS JOIN offs_{out} o
+    LEFT JOIN {src} q
+      ON q.cell_id = p.cell_id
+      AND q.r = {refl_r}
+      AND q.c = {refl_c}
+    GROUP BY p.url
+  ) n ON n._u = p.url
+)
+""".strip()

@@ -1,0 +1,373 @@
+"""Pure-NumPy raster kernels (scipy-free transcriptions of the reference's
+neighborhood / global operators). These run inside Arrow-batched
+``applyInPandas`` tile kernels — never per-row Python.
+
+Border semantics: single-mirror reflect (scipy's default ``mode='reflect'``,
+i.e. ``d c b a | a b c d``), with out-of-range-after-one-mirror treated as
+empty. This matches the reference exactly whenever the kernel is smaller
+than the raster (always true for its 512x512 windows) and keeps the SQL
+self-join formulation in derive.py bit-identical to the kernel path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+
+
+# ---------------------------------------------------------------------------
+# reflect-indexed neighborhood primitives
+# ---------------------------------------------------------------------------
+
+
+def _reflect_idx(idx: np.ndarray, n: int) -> np.ndarray:
+    """Single-mirror reflect; -1 marks indexes that stay out of range."""
+    out = idx.copy()
+    neg = idx < 0
+    out[neg] = -idx[neg] - 1
+    over = idx >= n
+    out[over] = 2 * n - idx[over] - 1
+    out[(out < 0) | (out >= n)] = -1
+    return out
+
+
+def neighbor_count(mask: np.ndarray, offsets: list[tuple[int, int]]) -> np.ndarray:
+    """Count of True neighbors over the given offsets with reflect borders."""
+    h, w = mask.shape
+    out = np.zeros((h, w), dtype=np.int32)
+    rows_base = np.arange(h)
+    cols_base = np.arange(w)
+    m = mask.astype(np.int32)
+    for dr, dc in offsets:
+        rr = _reflect_idx(rows_base + dr, h)
+        cc = _reflect_idx(cols_base + dc, w)
+        valid = (rr >= 0)[:, None] & (cc >= 0)[None, :]
+        rr_c = np.clip(rr, 0, h - 1)
+        cc_c = np.clip(cc, 0, w - 1)
+        out += np.where(valid, m[np.ix_(rr_c, cc_c)], 0)
+    return out
+
+
+_OFFS3 = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+
+
+def majority3_buffer(cloud: np.ndarray) -> np.ndarray:
+    """Fmask 3x3 fill-in: cloud if >=5 of 3x3 neighborhood is cloud
+    (``uniform_filter(cloud*2, 3) >= 1``, fmask/fmask.py:769-774)."""
+    return neighbor_count(cloud, _OFFS3) >= 5
+
+
+def buffer_offsets(radius: float) -> list[tuple[int, int]]:
+    """Circular kernel offsets (makeBufferKernel, fmask/fmask.py:1086-1097)."""
+    n = int(radius)
+    return [(dr, dc) for dr in range(-n, n + 1) for dc in range(-n, n + 1)
+            if (dr * dr + dc * dc) ** 0.5 <= radius]
+
+
+def dilate(mask: np.ndarray, radius: float) -> np.ndarray:
+    """Morphological dilation with a circular footprint
+    (``maximum_filter(mask, footprint=makeBufferKernel(r))``,
+    fmask/fmask.py:1169-1171,1379-1380)."""
+    if radius <= 0:
+        return mask.copy()
+    return neighbor_count(mask, buffer_offsets(radius)) > 0
+
+
+# ---------------------------------------------------------------------------
+# connected-component labeling (scipy.ndimage.label transcription)
+# ---------------------------------------------------------------------------
+
+
+def label_components(mask: np.ndarray, eight_connected: bool = True
+                     ) -> tuple[np.ndarray, int]:
+    """Two-pass union-find CCL. Label numbering follows raster scan order
+    of each component's first pixel — same numbering as
+    ``scipy.ndimage.label`` (used at fmask/fmask.py:833-844 with 8-conn
+    ``structure=ones((3,3))``, and 4-conn default at fmask/fmask.py:762-767).
+    """
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int64)
+    parent: list[int] = [0]
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    next_label = 1
+    if eight_connected:
+        prev_offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1)]
+    else:
+        prev_offsets = [(-1, 0), (0, -1)]
+
+    for r in range(h):
+        row = mask[r]
+        for c in range(w):
+            if not row[c]:
+                continue
+            neigh = []
+            for dr, dc in prev_offsets:
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < h and 0 <= cc < w and labels[rr, cc] > 0:
+                    neigh.append(labels[rr, cc])
+            if not neigh:
+                labels[r, c] = next_label
+                parent.append(next_label)
+                next_label += 1
+            else:
+                m = min(find(x) for x in neigh)
+                labels[r, c] = m
+                for x in neigh:
+                    union(x, m)
+
+    # Relabel roots in scan order of first appearance (scipy numbering).
+    remap: dict[int, int] = {}
+    out = np.zeros_like(labels)
+    nxt = 1
+    for r in range(h):
+        for c in range(w):
+            lab = labels[r, c]
+            if lab == 0:
+                continue
+            root = find(lab)
+            if root not in remap:
+                remap[root] = nxt
+                nxt += 1
+            out[r, c] = remap[root]
+    return out, nxt - 1
+
+
+# ---------------------------------------------------------------------------
+# fill minima (Soille & Gratin reconstruction-by-erosion;
+# fmask/fillminima.py:40-78 + c_src/fillminima.c:209-301)
+# ---------------------------------------------------------------------------
+
+
+def _bool_dilate3(mask: np.ndarray) -> np.ndarray:
+    """3x3 boolean dilation with reflect borders (stand-in for
+    scipy grey_dilation(size=(3,3)) on a bool array)."""
+    return neighbor_count(mask, _OFFS3) > 0
+
+
+def fill_minima(img: np.ndarray, nullval: int, boundaryval: float) -> np.ndarray:
+    """Fill local minima, bounded below by ``boundaryval``.
+
+    Faithful transcription of fillMinima (fmask/fillminima.py:40-78) and
+    the C hierarchical-queue kernel (c_src/fillminima.c:209-301):
+    4-connected flood from the boundary ring, levels processed ascending,
+    ``img2[p] = max(level, img[p])`` on first visit. The result is
+    independent of intra-level queue order, so this matches the C version
+    bit-for-bit."""
+    img = np.asarray(img)
+    nullmask = img == nullval
+    non_null = ~nullmask
+    if not non_null.any():
+        return img.copy()
+    h_max = int(img[non_null].max())
+    h_min = int(img[non_null].min())
+    boundaryval = max(boundaryval, h_min)
+    boundaryval = int(min(boundaryval, h_max))
+    nrows, ncols = img.shape
+    img2 = np.full((nrows, ncols), h_max, dtype=np.int64)
+
+    if nullmask.sum() > 0:
+        dil = _bool_dilate3(nullmask)
+        inner_boundary = dil ^ nullmask
+        brows, bcols = np.where(inner_boundary)
+    else:
+        # The wrapper seeds img2's border with img values and takes
+        # boundary = (img2 != hMax) (fmask/fillminima.py:61-65): border
+        # pixels already at hMax are NOT seeds.
+        edge = np.zeros((nrows, ncols), dtype=bool)
+        edge[0, :] = edge[-1, :] = True
+        edge[:, 0] = edge[:, -1] = True
+        brows, bcols = np.where(edge & (img != h_max))
+
+    n_levels = h_max - h_min + 1
+    queues: list[list[tuple[int, int]]] = [[] for _ in range(n_levels + 1)]
+    img2[brows, bcols] = boundaryval
+    for r, c in zip(brows.tolist(), bcols.tolist()):
+        queues[boundaryval - h_min].append((r, c))
+
+    for h_crt in range(h_min, h_max):
+        q = queues[h_crt - h_min]
+        qi = 0
+        while qi < len(q):
+            r, c = q[qi]
+            qi += 1
+            for rr, cc in ((r, c - 1), (r, c + 1), (r - 1, c), (r + 1, c)):
+                if 0 <= rr < nrows and 0 <= cc < ncols and not nullmask[rr, cc]:
+                    if img2[rr, cc] == h_max:
+                        v = max(h_crt, int(img[rr, cc]))
+                        img2[rr, cc] = v
+                        queues[v - h_min].append((rr, cc))
+
+    out = img2.astype(img.dtype)
+    out[nullmask] = nullval
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-clump 3-D cloud shape (cloudShapeFunc, fmask/fmask.py:896-951)
+# ---------------------------------------------------------------------------
+
+
+def cloud_shape_and_base_temp(
+    clumps: np.ndarray, bt: np.ndarray
+) -> tuple[np.ndarray, dict[int, float]]:
+    """Relative cloud-top height image (uint8, x CLOUD_HEIGHT_SCALE) and
+    per-clump cloud-base temperature (Eqns 22-24)."""
+    cloud_shape = np.zeros(bt.shape, dtype=np.uint8)
+    cloud_base_temp: dict[int, float] = {}
+    for cloud_id in np.unique(clumps):
+        if cloud_id == 0:
+            continue
+        ndx = np.where(clumps == cloud_id)
+        bt_cloud = bt[ndx].astype(np.float64).copy()
+        n_pix = len(ndx[0])
+        R = np.sqrt(n_pix / (2 * np.pi))
+        if R >= 8:
+            percentile = 100.0 * (R - 8.0) ** 2 / (R ** 2)
+            # scipy.stats.scoreatpercentile == np.percentile (linear interp)
+            t_base = float(np.percentile(bt_cloud, percentile))
+        else:
+            t_base = float(bt_cloud.min())
+        bt_cloud[bt_cloud > t_base] = t_base
+        h_rel = (t_base - bt_cloud) / C.LAPSE_RATE_WET
+        cloud_shape[ndx] = np.round(h_rel * C.CLOUD_HEIGHT_SCALE).astype(np.uint8)
+        cloud_base_temp[int(cloud_id)] = t_base
+    return cloud_shape, cloud_base_temp
+
+
+# ---------------------------------------------------------------------------
+# shadow projection + matching (fmask/fmask.py:959-1060, 1188-1308)
+# ---------------------------------------------------------------------------
+
+
+def make_shadow_shapes(
+    clumps: np.ndarray,
+    cloud_shape: np.ndarray,
+    angles: dict[str, float],
+    x_res: float = C.X_RES,
+    y_res: float = C.Y_RES,
+) -> dict[int, tuple[tuple[np.ndarray, np.ndarray], float, float, float, float]]:
+    """Project cloud-top pixels along the sun vector onto the cloud-base
+    plane (makeCloudShadowShapes, fmask/fmask.py:959-1060; the cheap
+    cloud-top-only variant, duplicates kept, fmask/fmask.py:1021-1052)."""
+    nrows, ncols = clumps.shape
+    sun_az, sun_zen = angles["sun_az"], angles["sun_zen"]
+    sat_az, sat_zen = angles["sat_az"], angles["sat_zen"]
+    out = {}
+    for cloud_id in np.unique(clumps):
+        if cloud_id == 0:
+            continue
+        ndx = np.where(clumps == cloud_id)
+        cloud_hgt = C.METRES_PER_KM * cloud_shape[ndx].astype(np.float64) \
+            / C.CLOUD_HEIGHT_SCALE
+        x = ndx[1] * x_res
+        y = ndx[0] * y_res
+        d = cloud_hgt * np.tan(sun_zen).astype(np.float32)
+        x_dash = x - d * float(np.sin(sun_az))
+        y_dash = y - d * float(np.cos(sun_az))
+        rows = (y_dash / y_res).astype(np.uint32).clip(0, nrows - 1)
+        cols = (x_dash / x_res).astype(np.uint32).clip(0, ncols - 1)
+        out[int(cloud_id)] = ((rows.flatten(), cols.flatten()),
+                              sat_az, sat_zen, sun_az, sun_zen)
+    return out
+
+
+def match_one_shadow(
+    cloudmask: np.ndarray,
+    shadow_entry,
+    potential_shadow: np.ndarray,
+    t_cloudbase: float,
+    t_low,
+    t_high,
+    x_res: float,
+    y_res: float,
+    nullmask: np.ndarray,
+):
+    """Height-sweep template match (matchOneShadow, fmask/fmask.py:1188-1308).
+    Returns matched (rows, cols) index tuple or None."""
+    img_nrows, img_ncols = cloudmask.shape
+    if t_low is None:
+        t_low = 0.0
+    if t_high is None:
+        t_high = 10.0
+
+    h_min = max(0.2, (t_low - 4 - t_cloudbase) / 9.8) * C.METRES_PER_KM
+    h_max = min(12, (t_high + 4 - t_cloudbase)) * C.METRES_PER_KM
+
+    (shape_ndx, sat_az, sat_zen, sun_az, sun_zen) = shadow_entry
+
+    tan_sun_zen = np.tan(sun_zen)
+    sin_sun_az = np.sin(sun_az)
+    cos_sun_az = np.cos(sun_az)
+    tan_sat_zen = np.tan(sat_zen)
+    sin_sat_az = np.sin(sat_az)
+    cos_sat_az = np.cos(sat_az)
+
+    d_min = h_min * tan_sun_zen
+    d_max = h_max * tan_sun_zen
+    x_off_min, x_off_max = d_min * sin_sun_az, d_max * sin_sun_az
+    y_off_min, y_off_max = d_min * cos_sun_az, d_max * cos_sun_az
+
+    longest_shift = max(abs(x_off_max - x_off_min), abs(y_off_max - y_off_min))
+    num_steps = max(1, int(np.ceil(longest_shift / x_res)))
+    x_step = (x_off_max - x_off_min) / num_steps
+    y_step = (y_off_max - y_off_min) / num_steps
+
+    row0, row_n = int(shape_ndx[0].min()), int(shape_ndx[0].max())
+    col0, col_n = int(shape_ndx[1].min()), int(shape_ndx[1].max())
+    nrows, ncols = row_n - row0 + 1, col_n - col0 + 1
+    shadow_template = np.zeros((nrows, ncols), dtype=bool)
+    shadow_template[shape_ndx[0] - row0, shape_ndx[1] - col0] = True
+
+    best_similarity = 0.0
+    best_rc = (0, 0)
+    best_overlap = None
+    for i in range(num_steps):
+        H = (x_off_min + i * x_step) / (tan_sun_zen * sin_sun_az)
+        d_view = H * tan_sat_zen
+        x_view, y_view = d_view * sin_sat_az, d_view * cos_sat_az
+        x_off = x_off_min + i * x_step - x_view
+        y_off = y_off_min + i * y_step - y_view
+        row_off = int(y_off / y_res)
+        col_off = int(x_off / x_res)
+        r = row0 - row_off
+        c = col0 - col_off
+        if r >= 0 and r + nrows <= img_nrows and c >= 0 and c + ncols <= img_ncols:
+            cloud = cloudmask[r:r + nrows, c:c + ncols]
+            pot_shadow = potential_shadow[r:r + nrows, c:c + ncols].copy()
+            null = nullmask[r:r + nrows, c:c + ncols]
+            pot_shadow[cloud] = 0
+            pot_shadow[null] = 0
+            tmpl = shadow_template.copy()
+            tmpl[cloud] = False
+            tmpl[null] = False
+            similarity = 0.0
+            overlap = np.logical_and(pot_shadow, tmpl)
+            overlap_area = overlap.sum()
+            shadow_area = tmpl.sum()
+            if shadow_area > 0:
+                similarity = float(overlap_area) / shadow_area
+            if similarity > best_similarity:
+                best_rc = (r, c)
+                best_similarity = similarity
+                best_overlap = overlap
+    if best_similarity > 0.3:
+        ndx = np.where(best_overlap)
+        return (best_rc[0] + ndx[0], best_rc[1] + ndx[1])
+    return None

@@ -1,0 +1,131 @@
+"""Per-scene (per-cell) classification kernel: everything in doFmask after
+pass 3's predicate (fmask/fmask.py:96-221 stages SHADOW..FINAL), vectorized
+NumPy over one cell's raster inside ``applyInPandas``.
+
+The reference runs each Landsat/Sentinel scene in a single process; our
+scene == H3 cell, so per-cell kernels are semantically exact. Cross-cell
+distribution comes from Spark's shuffle over cell_id; intra-cell
+distribution (for mega-cells) uses the tiled operators in tiling.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .. import constants as C
+from . import kernels
+
+
+@dataclass(frozen=True)
+class FmaskParams:
+    cloud_buffer_px: float = C.CLOUD_BUFFER_SIZE
+    shadow_buffer_px: float = C.SHADOW_BUFFER_SIZE
+    min_cloud_size_px: int = C.MIN_CLOUD_SIZE_PIXELS
+    x_res: float = C.X_RES
+    y_res: float = C.Y_RES
+
+
+def _to_raster(pdf: pd.DataFrame, col: str, H: int, W: int, fill, dtype):
+    arr = np.full((H, W), fill, dtype=dtype)
+    arr[pdf["r"].to_numpy(), pdf["c"].to_numpy()] = pdf[col].to_numpy().astype(dtype)
+    return arr
+
+
+def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
+                   ) -> pd.DataFrame:
+    """Input: one cell's pass-3 pixel rows. Output: per-url final class.
+
+    Stages (reference provenance):
+      interim cloud  = Eqn18 + optional size filter + 3x3 majority
+                       (cloudFinalPass, fmask/fmask.py:722-778)
+      potential shadow = fillMinima on NIR + Eqn19 (fmask/fmask.py:781-830)
+      clumps         = 8-conn label (fmask/fmask.py:833-844)
+      3-D clouds     = Eqns 22-24 (fmask/fmask.py:896-951)
+      shadow shapes  = sun-vector projection (fmask/fmask.py:959-1060)
+      shadow match   = height sweep, accept sim > 0.3 (fmask/fmask.py:1100-1308)
+      finalize       = buffers + precedence merge (fmask/fmask.py:1357-1396)
+    """
+    H = int(pdf["r"].max()) + 1
+    W = C.SCENE_WIDTH
+
+    # Ghost slots (beyond the last document) are null pixels.
+    nullmask = np.ones((H, W), dtype=bool)
+    nullmask[pdf["r"].to_numpy(), pdf["c"].to_numpy()] = \
+        pdf["nullmask"].to_numpy().astype(bool)
+    cloud_raw = _to_raster(pdf, "cloud_raw", H, W, False, bool)
+    water = _to_raster(pdf, "water_test", H, W, False, bool)
+    snow = _to_raster(pdf, "snow", H, W, False, bool)
+    nir_dn = _to_raster(pdf, "nir", H, W, 0, np.int64)
+    bt = _to_raster(pdf, "bt", H, W, 0.0, np.float64)
+
+    row0 = pdf.iloc[0]
+    t_low = None if pd.isna(row0["g_tlow"]) else float(row0["g_tlow"])
+    t_high = None if pd.isna(row0["g_thigh"]) else float(row0["g_thigh"])
+    b4_17 = float(row0["g_b4_17"])
+    angles = {k: float(row0[k]) for k in ("sun_az", "sun_zen", "sat_az", "sat_zen")}
+
+    # --- interim cloud mask (cloudFinalPass tail, fmask/fmask.py:761-776)
+    cloudmask = cloud_raw.copy()
+    if params.min_cloud_size_px > 1:
+        clumps0, _ = kernels.label_components(cloudmask, eight_connected=False)
+        sizes = np.bincount(clumps0.ravel())
+        sizes[0] = 0
+        cloudmask[sizes[clumps0] < params.min_cloud_size_px] = False
+    cloudmask = kernels.majority3_buffer(cloudmask)
+    cloudmask[nullmask] = False
+
+    # --- potential shadow (doPotentialShadows, fmask/fmask.py:781-830)
+    nir17_dn = b4_17 * C.TOA_SCALE  # NIRoffset 0 (fmask/fmask.py:800-806)
+    filled = kernels.fill_minima(nir_dn, C.REF_NULL_DN, nir17_dn)
+    nir_units = nir_dn / C.TOA_SCALE
+    filled_units = filled / C.TOA_SCALE
+    potential_shadow = (filled_units - nir_units) > C.EQN19_NIR_FILL_THRESH
+
+    # --- clump clouds (fmask/fmask.py:833-844, 8-connected)
+    clumps, _n = kernels.label_components(cloudmask, eight_connected=True)
+
+    # --- 3-D clouds (fmask/fmask.py:896-951)
+    cloud_shape, base_temp = kernels.cloud_shape_and_base_temp(clumps, bt)
+
+    # --- shadow shapes + matching (fmask/fmask.py:959-1060,1100-1185)
+    shapes = kernels.make_shadow_shapes(clumps, cloud_shape, angles,
+                                        params.x_res, params.y_res)
+    shadowmask = np.zeros((H, W), dtype=bool)
+    for cloud_id, entry in shapes.items():
+        t_base = base_temp.get(cloud_id, 0)
+        matched = kernels.match_one_shadow(
+            cloudmask, entry, potential_shadow, t_base, t_low, t_high,
+            params.x_res, params.y_res, nullmask)
+        if matched is not None:
+            shadowmask[matched] = True
+    if params.shadow_buffer_px > 0:
+        shadowmask = kernels.dilate(shadowmask, params.shadow_buffer_px)
+
+    # --- finalize (maskAndBuffer, fmask/fmask.py:1357-1396)
+    cloud_final = kernels.dilate(cloudmask, params.cloud_buffer_px) \
+        if params.cloud_buffer_px > 0 else cloudmask
+    out = np.full((H, W), C.OUTCODE_CLEAR, dtype=np.uint8)
+    out[water] = C.OUTCODE_WATER
+    out[snow] = C.OUTCODE_SNOW
+    out[shadowmask] = C.OUTCODE_SHADOW
+    out[cloud_final] = C.OUTCODE_CLOUD
+    out[nullmask] = C.OUTCODE_NULL
+
+    rr = pdf["r"].to_numpy()
+    cc = pdf["c"].to_numpy()
+    return pd.DataFrame({
+        "url": pdf["url"].to_numpy(),
+        "cell_id": pdf["cell_id"].to_numpy(),
+        "r": rr.astype(np.int32),
+        "c": cc.astype(np.int32),
+        "fmask_class": out[rr, cc].astype(np.int32),
+        "cloud_id": clumps[rr, cc].astype(np.int64),
+        "text": pdf["text"].to_numpy(),
+    })
+
+
+SCENE_OUT_SCHEMA = ("url string, cell_id string, r int, c int, "
+                    "fmask_class int, cloud_id bigint, text string")

@@ -1,0 +1,58 @@
+"""End-to-end fmask classification pipeline, Spark-first.
+
+Plan shape:
+  parquet scan (pruned columns)
+    -> declarative pass1/pass2/pass3 (single Catalyst plan; per-cell
+       threshold dim tables joined back — no driver collect barrier)
+    -> shuffle by cell_id -> applyInPandas scene kernel (Arrow batches)
+
+The three reference "passes" are one Catalyst plan here: Spark's optimizer
+sees through the CTE chain, pushes the parquet column pruning, and keeps
+all scalar math in whole-stage codegen. Only the genuinely spatial tail
+(fill-minima, clumps, shadow match) runs in NumPy kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import derive
+from .dialect import SPARK
+from .operators.scene import SCENE_OUT_SCHEMA, FmaskParams, classify_scene
+
+# Columns the scene kernel needs (everything else is pruned before the
+# shuffle — keep the exchanged bytes minimal).
+_KERNEL_COLS = ("url", "cell_id", "r", "c", "text", "nir", "bt",
+                "nullmask", "water_test", "snow", "cloud_raw",
+                "g_tlow", "g_thigh", "g_b4_17",
+                "sun_az", "sun_zen", "sat_az", "sat_zen")
+
+
+def pass3_sql(table: str = "documents") -> str:
+    ctes = ",\n".join([
+        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
+        derive.pass1_sql(SPARK),
+        derive.thresholds_sql(SPARK),
+        derive.pass2_sql(SPARK),
+        derive.pass3_sql(SPARK),
+    ])
+    cols = ", ".join(_KERNEL_COLS)
+    return f"WITH {ctes} SELECT {cols} FROM pass3"
+
+
+def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
+    return spark.sql(pass3_sql(table))
+
+
+def classify(spark: SparkSession, table: str = "documents",
+             params: FmaskParams | None = None) -> DataFrame:
+    """Full classification: returns (url, cell_id, r, c, fmask_class,
+    cloud_id, text). ``table`` must be a registered view with the raw
+    documents schema."""
+    params = params or FmaskParams()
+    p3 = pass3_df(spark, table)
+
+    def kernel(pdf):
+        return classify_scene(pdf, params)
+
+    return p3.groupBy("cell_id").applyInPandas(kernel, schema=SCENE_OUT_SCHEMA)

@@ -1,0 +1,56 @@
+"""Table sources: driver parquet + derived input_hint-shaped views.
+
+The production design reads Iceberg (``spark.read.format("iceberg")``);
+this sandbox has no Iceberg catalog jars, so parquet is the storage
+fallback — same DataFrame surface, same pushdown behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .derive import documents_wide_sql
+from .dialect import SPARK
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def load_documents_wide(spark: SparkSession, sf_dir: str,
+                        replicate: int = 1) -> DataFrame:
+    """The input_hint-shaped documents table
+    (url, warc_ts, html, text, lang), derived deterministically from the
+    driver's documents parquet.
+
+    ``replicate`` > 1 deterministically expands the table for bench runs:
+    each copy gets a distinct domain suffix (spreading cells) and url.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    if replicate == 1:
+        return spark.sql(documents_wide_sql(SPARK, "documents"))
+    rep = spark.sql(
+        f"""SELECT concat('https://', source, '-k', k, '.example/p/',
+                  cast(doc_id as string)) AS url,
+           timestamp '2024-01-01 00:00:00'
+             + make_interval(0, 0, 0, 0, 0, 0, doc_id) AS warc_ts,
+           encode(concat('<html>', text, '</html>'), 'UTF-8') AS html,
+           text, lang
+        FROM documents
+        LATERAL VIEW explode(sequence(0, {replicate - 1})) t AS k""")
+    return rep
