@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from python_fmask_spark import oracle  # noqa: E402
+from python_fmask_spark import oracle, pipeline  # noqa: E402
 from python_fmask_spark.dialect import DUCKDB, SPARK  # noqa: E402
+from python_fmask_spark.functions import dedup, multimodal, relational  # noqa: E402
+from python_fmask_spark.functions import similarity, text as textfn  # noqa: E402
 from python_fmask_spark.sources import register_views  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -23,6 +25,7 @@ SF0001 = "/root/testdata/sf0.001"
 # pre-registered views. Spark runs the SPARK rendering (declarative,
 # Catalyst-optimized); the driver runs the DUCKDB rendering as oracle.
 _SQL_QUERIES: dict[str, Callable[[str], str]] = {
+    # fmask pipeline (SURVEY §2 operators)
     "documents_wide": oracle.q_documents_wide,
     "geocode_cells": oracle.q_geocode_cells,
     "pass1_cell_counts": oracle.q_pass1_cell_counts,
@@ -30,7 +33,45 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "pass2_probs": oracle.q_pass2_probs,
     "cloud_interim": oracle.q_cloud_interim,
     "fmask_interim_class": oracle.q_fmask_interim_class,
+    # dedup family
+    "dedup_exact": dedup.q_exact_dedup,
+    "dedup_minhash_signatures": dedup.q_minhash_signatures,
+    "dedup_minhash_pairs": dedup.q_minhash_pairs,
+    "dedup_simhash": dedup.q_simhash,
+    "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
+    # similarity search
+    "ann_bruteforce": similarity.q_ann_bruteforce,
+    "ann_lsh": similarity.q_ann_lsh,
+    # text analysis
+    "text_lang_id": textfn.q_lang_id,
+    "text_quality": textfn.q_quality_score,
+    "text_tokens": textfn.q_token_counts,
+    "text_fingerprint": textfn.q_fingerprint,
+    # multimodal binary plumbing
+    "html_meta": multimodal.q_html_meta,
+    # relational surface
+    "rel_lineitem_agg": relational.q_lineitem_agg,
+    "rel_orders_topk": relational.q_orders_topk,
+    "rel_region_nation": relational.q_region_nation_join,
+    "rel_events_window": relational.q_events_window,
+    "rel_antijoin": relational.q_supplier_part_antijoin,
 }
+
+
+def _fmask_final_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full classification incl. shadow chain (kernel path; the shadow
+    stages are not SQL-expressible -> rows-only driver check, bit-exact
+    vs the NumPy oracle in tests/)."""
+    register_views(spark, sf_dir)
+    out = pipeline.classify(spark)
+    return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                          "cloud_id", "sha2(text, 256) AS text_sha256")
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_fmask_spark.sources import load_documents_wide
+    docs = load_documents_wide(spark, sf_dir)
+    return multimodal.extract_features(docs)
 
 
 def _make_sql_query(builder: Callable[[str], str]):
@@ -50,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, builder in _SQL_QUERIES.items():
         out[name] = _make_sql_query(builder)
+    # kernel-path operators (no SQL oracle -> rows-only driver check)
+    out["fmask_final_class"] = _fmask_final_class
+    out["multimodal_features"] = _multimodal_features
     return out
 
 

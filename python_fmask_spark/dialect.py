@@ -86,3 +86,23 @@ def log_natural(expr: str, d: str) -> str:
     _check(d)
     # Spark: ln() exists; DuckDB: ln() exists. Shared.
     return f"ln({expr})"
+
+
+def explode_series(lo: str, hi: str, alias: str, d: str) -> str:
+    """SELECT-list row generator producing one row per integer in
+    [lo, hi] (inclusive), column named ``alias``."""
+    _check(d)
+    if d == SPARK:
+        return f"explode(sequence({lo}, {hi})) AS {alias}"
+    return f"unnest(generate_series({lo}, {hi})) AS {alias}"
+
+
+def sha256_hex(expr: str, d: str) -> str:
+    _check(d)
+    return f"sha2({expr}, 256)" if d == SPARK else f"sha256({expr})"
+
+
+def octet_len(expr: str, d: str) -> str:
+    """Byte length of a binary value."""
+    _check(d)
+    return f"length({expr})" if d == SPARK else f"octet_length({expr})"

@@ -1,0 +1,142 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[], label).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (random-hyperplane signs -> bucket equi-join ->
+exact re-rank inside buckets only).
+
+Determinism across engines: float arrays are quantized to integer
+micro-units first, so dot products are exact integer arithmetic; the
+final cosine is derived from those ints by IEEE-deterministic ops
+(sqrt/div/round), identical in Spark and DuckDB.
+
+Scale notes (10^9+ vectors): brute force is a broadcast of the (small)
+query set against a scan of the corpus — no shuffle until the per-query
+top-k (window over query_id). The LSH path buckets the corpus once
+(linear), joins queries to matching buckets only, and re-ranks
+candidates — the cross product never materializes.
+"""
+
+from __future__ import annotations
+
+from ..dialect import SPARK, explode_series, md5_slice_int
+
+N_QUERIES = 20
+TOP_K = 5
+DIM = 64
+N_PLANES = 8
+
+
+def _intvec_cte(d: str) -> str:
+    """Quantized int vectors: one row per (vec_id, dim, int value)."""
+    gen = explode_series("0", f"{DIM - 1}", "i", d)
+    # cast float32 -> double BEFORE scaling: Spark would otherwise
+    # multiply in float32 while DuckDB promotes to double, making the
+    # quantized ints differ by +-1.
+    elem = ("cast(embedding[i] as double)" if d == SPARK
+            else "cast(embedding[i + 1] as double)")
+    return f"""
+dims AS (
+  SELECT vec_id, label, {gen} FROM embeddings
+),
+iv AS (
+  SELECT d.vec_id, d.label, d.i,
+    cast(round({elem} * 1000000) as bigint) AS v
+  FROM (SELECT e.vec_id, e.label, e.embedding, d.i
+        FROM embeddings e JOIN dims d ON d.vec_id = e.vec_id) d
+)""".strip()
+
+
+def q_ann_bruteforce(d: str) -> str:
+    """Exact cosine top-k for the first N_QUERIES vectors (brute force)."""
+    return f"""
+WITH {_intvec_cte(d)},
+norms AS (
+  SELECT vec_id, sum(v * v) AS nrm FROM iv GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    sum(q.v * c.v) AS dot
+  FROM iv q JOIN iv c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+  SELECT d.query_id, d.cand_id,
+    cast(round(1000000.0 * d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm))) as bigint)
+      AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY d.query_id
+      ORDER BY cast(d.dot as double) / (sqrt(nq.nrm) * sqrt(nc.nrm)) DESC,
+               d.cand_id) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _plane_sign(d: str) -> str:
+    """Pseudo-random +-1 hyperplane component for (plane p, dim i)."""
+    h = md5_slice_int("concat('plane_', cast(p as varchar), '_', "
+                      "cast(i as varchar))" if d != SPARK else
+                      "concat('plane_', cast(p as string), '_', "
+                      "cast(i as string))", 1, 4, d)
+    return f"(case when ({h}) % 2 = 0 then 1 else -1 end)"
+
+
+def q_ann_lsh(d: str) -> str:
+    """LSH-bucketed ANN: sign-of-projection bits -> bucket join -> exact
+    cosine re-rank among same-bucket candidates only."""
+    pgen = explode_series("0", f"{N_PLANES - 1}", "p", d)
+    return f"""
+WITH {_intvec_cte(d)},
+planes AS (
+  SELECT i_all.i, {pgen.replace(' AS p', ' AS p')}
+  FROM (SELECT DISTINCT i FROM iv) i_all
+),
+signs AS (
+  SELECT p, i, {_plane_sign(d)} AS s FROM planes
+),
+proj AS (
+  SELECT iv.vec_id, s.p, sum(iv.v * s.s) AS dp
+  FROM iv JOIN signs s ON s.i = iv.i
+  GROUP BY iv.vec_id, s.p
+),
+buckets AS (
+  SELECT vec_id,
+    cast(sum(case when dp > 0 then power(2, p) else 0 end) as bigint)
+      AS bucket
+  FROM proj GROUP BY vec_id
+),
+cands AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM buckets q JOIN buckets c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+norms AS (
+  SELECT vec_id, sum(v * v) AS nrm FROM iv GROUP BY vec_id
+),
+dots AS (
+  SELECT ca.query_id, ca.cand_id, sum(q.v * c.v) AS dot
+  FROM cands ca
+  JOIN iv q ON q.vec_id = ca.query_id
+  JOIN iv c ON c.vec_id = ca.cand_id AND c.i = q.i
+  GROUP BY ca.query_id, ca.cand_id
+),
+ranked AS (
+  SELECT d.query_id, d.cand_id,
+    cast(round(1000000.0 * d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm))) as bigint)
+      AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY d.query_id
+      ORDER BY cast(d.dot as double) / (sqrt(nq.nrm) * sqrt(nc.nrm)) DESC,
+               d.cand_id) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}"""

@@ -1,0 +1,109 @@
+"""Text-analysis operators over ``documents``: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All counting is done with replace-arithmetic (length deltas), which is
+deterministic and identical across Spark SQL and DuckDB — no regex
+engine differences in the correctness path.
+"""
+
+from __future__ import annotations
+
+from ..derive import documents_wide_sql
+from ..dialect import explode_series, md5_slice_int
+
+# marker substring per language (simple stopword heuristic)
+_LANG_MARKERS = {
+    "en": " the ", "de": " der ", "fr": " le ", "es": " el ", "zh": " de ",
+}
+
+
+def _count_occurrences(text: str, needle: str) -> str:
+    n = len(needle)
+    esc = needle.replace("'", "''")
+    return f"((length({text}) - length(replace({text}, '{esc}', ''))) / {n})"
+
+
+def q_lang_id(d: str) -> str:
+    """N-gram/stopword language score: occurrence counts of per-language
+    marker tokens; guess = argmax (ties -> lexicographic first)."""
+    scores = ", ".join(
+        f"cast({_count_occurrences('text', m)} as bigint) AS score_{lang}"
+        for lang, m in _LANG_MARKERS.items())
+    score_cols = [f"score_{lang}" for lang in _LANG_MARKERS]
+    best = f"greatest({', '.join(score_cols)})"
+    guess = "case " + " ".join(
+        f"when score_{lang} = best_score and best_score > 0 then '{lang}'"
+        for lang in _LANG_MARKERS) + " else 'und' end"
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+scored AS (
+  SELECT url, lang, {scores} FROM docs
+),
+best AS (
+  SELECT *, {best} AS best_score FROM scored
+)
+SELECT url, lang AS lang_label, {guess} AS lang_guess,
+  {', '.join(score_cols)}
+FROM best"""
+
+
+def q_quality_score(d: str) -> str:
+    """Quality heuristics: length, word count, mean word length,
+    stopword ratio, digit ratio -> milli-score."""
+    n_words = "(cast((length(text) - length(replace(text, ' ', ''))) as bigint) + 1)"
+    # digit count via chained replaces 0-9
+    inner = "text"
+    for ch in "0123456789":
+        inner = f"replace({inner}, '{ch}', '')"
+    n_digits = f"(length(text) - length({inner}))"
+    n_the = _count_occurrences("text", " the ")
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+feats AS (
+  SELECT url, length(text) AS n_chars, {n_words} AS n_words,
+    {n_digits} AS n_digits,
+    cast({n_the} as bigint) AS n_stop
+  FROM docs
+)
+SELECT url, n_chars, n_words,
+  cast(round(1000.0 * (n_chars - n_words + 1) / n_words) as bigint)
+    AS mean_word_len_milli,
+  cast(round(1000.0 * n_stop / n_words) as bigint) AS stopword_milli,
+  cast(round(1000.0 * n_digits / n_chars) as bigint) AS digit_milli,
+  cast(round(least(1000.0,
+      200.0 * ln(1 + n_chars) + 2000.0 * n_stop / n_words
+      - 3000.0 * n_digits / n_chars)) as bigint) AS quality_milli
+FROM feats"""
+
+
+def q_token_counts(d: str) -> str:
+    """Whitespace tokens + BPE-ish subword estimate (ceil(chars/4) per
+    word, the common ~4-chars-per-token rule)."""
+    n_words = "(cast((length(text) - length(replace(text, ' ', ''))) as bigint) + 1)"
+    n_chars_nospace = "cast(length(replace(text, ' ', '')) as bigint)"
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')})
+SELECT url, {n_words} AS ws_tokens,
+  cast(ceil({n_chars_nospace} / 4.0) + {n_words} - 1 as bigint)
+    AS bpe_tokens_est,
+  length(text) AS n_chars
+FROM docs"""
+
+
+def q_fingerprint(d: str) -> str:
+    """Winnowing-style fingerprint: min + max + count of 5-gram hashes,
+    plus whole-text digest (rolling-hash family, cf. A10 inverted index)."""
+    gen = explode_series("1", "greatest(length(text) - 4, 1)", "pos", d)
+    h = md5_slice_int("substr(text, pos, 5)", 1, 8, d)
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+positions AS (
+  SELECT url, text, {gen} FROM docs
+),
+hashes AS (
+  SELECT url, {h} AS sh FROM positions
+)
+SELECT url, min(sh) AS fp_min, max(sh) AS fp_max,
+  count(DISTINCT sh) AS fp_card,
+  cast(sum(sh) % 9007199254740993 as bigint) AS fp_sum
+FROM hashes GROUP BY url"""

@@ -1,0 +1,117 @@
+"""Cross-tile connected-component labeling (W5 in SURVEY §2.5).
+
+Per-tile ``label_components`` (NumPy union-find) runs tile-parallel;
+seam equivalences are resolved by a union-find over the tile-border
+pixel pairs. Border data is O(perimeter) — for a 10^12-pixel table the
+seam-edge set is ~10^6-10^7 rows, safely collectable to the driver (the
+same asymmetry the reference exploits by holding per-clump dicts in
+memory, fmask/fmask.py:910,976). Final labels are canonicalized to each
+component's first pixel in raster-scan order, so the result is
+partitioning-invariant and equals the whole-raster scipy-style labeling
+up to that canonical renumbering (property-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import constants as C
+from ..session import ensure_package_on_executors
+from . import kernels
+
+
+def _local_label_schema() -> str:
+    return ("url string, cell_id string, r int, c int, "
+            "tile int, local_label bigint")
+
+
+def label_clumps_distributed(df: DataFrame, flag_col: str,
+                             tile_rows: int = C.TILE_SIZE) -> DataFrame:
+    """Label True pixels of ``flag_col`` with 8-connected component ids,
+    unique per cell, spanning tile boundaries.
+
+    Returns (url, cell_id, r, c, clump_id) for True pixels; clump_id is
+    the linear index (r * W + c) of the component's first pixel in scan
+    order — deterministic across any tiling/partitioning.
+    """
+    W = C.SCENE_WIDTH
+    ensure_package_on_executors(df.sparkSession)
+    src = df.select("url", "cell_id", "r", "c", flag_col) \
+            .filter(F.col(flag_col)) \
+            .withColumn("tile", F.expr(f"r div {tile_rows}"))
+
+    def local_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf["r"].to_numpy()
+        lo = int(r.min())
+        h = int(r.max()) - lo + 1
+        arr = np.zeros((h, W), dtype=bool)
+        arr[r - lo, pdf["c"].to_numpy()] = True
+        lab, _n = kernels.label_components(arr, eight_connected=True)
+        # Globalize: local component id -> its min linear pixel index
+        # within this tile (min over the component of (r*W + c)).
+        lin = (np.arange(h)[:, None] + lo) * W + np.arange(W)[None, :]
+        ids = np.zeros(lab.max() + 1, dtype=np.int64)
+        for comp in range(1, lab.max() + 1):
+            ids[comp] = lin[lab == comp].min()
+        rows = pdf["r"].to_numpy()
+        cols = pdf["c"].to_numpy()
+        return pd.DataFrame({
+            "url": pdf["url"].to_numpy(),
+            "cell_id": pdf["cell_id"].to_numpy(),
+            "r": rows.astype(np.int32),
+            "c": cols.astype(np.int32),
+            "tile": pdf["tile"].to_numpy().astype(np.int32),
+            "local_label": ids[lab[rows - lo, cols]],
+        })
+
+    labeled = src.groupBy("cell_id", "tile").applyInPandas(
+        local_label, schema=_local_label_schema())
+    labeled = labeled.persist()
+
+    # Seam edges: 8-adjacent pixel pairs across tile boundaries.
+    top = labeled.filter(F.expr(f"pmod(r, {tile_rows}) = 0")) \
+        .select("cell_id", "r", "c", F.col("local_label").alias("lab_b"))
+    bottom = labeled.filter(F.expr(f"pmod(r, {tile_rows}) = {tile_rows - 1}")) \
+        .select("cell_id", F.col("r").alias("r_a"), F.col("c").alias("c_a"),
+                F.col("local_label").alias("lab_a"))
+    edges = (bottom.join(
+        top,
+        (bottom.cell_id == top.cell_id) & (top.r == bottom.r_a + 1)
+        & (F.abs(top.c - bottom.c_a) <= 1))
+        .select("lab_a", "lab_b").distinct())
+
+    edge_rows = edges.collect()  # O(perimeter), see module docstring
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for e in edge_rows:
+        a, b = find(int(e.lab_a)), find(int(e.lab_b))
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+
+    mapping = [(x, find(x)) for x in list(parent)]
+    spark = df.sparkSession
+    if mapping:
+        map_df = spark.createDataFrame(mapping, "local_label bigint, root bigint")
+        out = (labeled.join(F.broadcast(map_df), "local_label", "left")
+               .withColumn("clump_id", F.coalesce("root", "local_label"))
+               .select("url", "cell_id", "r", "c", "clump_id"))
+    else:
+        out = labeled.withColumnRenamed("local_label", "clump_id") \
+            .select("url", "cell_id", "r", "c", "clump_id")
+    return out

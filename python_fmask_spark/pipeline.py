@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import derive
 from .dialect import SPARK
 from .operators.scene import SCENE_OUT_SCHEMA, FmaskParams, classify_scene
+from .session import ensure_package_on_executors
 
 # Columns the scene kernel needs (everything else is pruned before the
 # shuffle — keep the exchanged bytes minimal).
@@ -50,6 +51,7 @@ def classify(spark: SparkSession, table: str = "documents",
     cloud_id, text). ``table`` must be a registered view with the raw
     documents schema."""
     params = params or FmaskParams()
+    ensure_package_on_executors(spark)
     p3 = pass3_df(spark, table)
 
     def kernel(pdf):

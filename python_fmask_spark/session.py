@@ -8,8 +8,35 @@ batches feed the pandas-UDF tile kernels).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PYFILES_SENT: set[int] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship python_fmask_spark to executors (the spark-submit --py-files
+    pattern). Required for pandas-UDF kernels when the driver process was
+    not started inside the repo; no-op if already shipped or importable
+    via a shared filesystem."""
+    key = id(spark)
+    if key in _PYFILES_SENT:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"python_fmask_spark_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
 
 
 def get_spark(

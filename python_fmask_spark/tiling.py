@@ -1,0 +1,122 @@
+"""Tiling, halo exchange, and skew-aware repartitioning.
+
+A cell's raster (height H, fixed width SCENE_WIDTH) is split into
+horizontal tiles of TILE_SIZE rows. Neighborhood kernels (majority,
+dilation, focal variance) need ``radius`` rows of context across tile
+seams — the reference gets this via RIOS overlap reads
+(fmask/fmask.py:262-263,706-711,1326); we get it with ``with_halo``:
+each boundary row is duplicated into the adjacent tile BEFORE the
+groupBy, so the kernel shuffle is one pass and needs no self-join.
+
+Scale notes: halo duplication is O(radius/TILE_SIZE) overhead (<7% for
+radius 2, tiles 32). The (cell_id, tile) grouping key is already salt-like
+— a mega-cell fans out to H/TILE_SIZE independent tasks, which is the
+explicit skew answer required by the north rule; ``salted_repartition``
+covers the columnar stages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .session import ensure_package_on_executors
+
+
+def with_tiles(df: DataFrame, tile_rows: int = C.TILE_SIZE) -> DataFrame:
+    """Assign each pixel row to its (cell_id, tile) group."""
+    return df.withColumn("tile", F.expr(f"r div {tile_rows}"))
+
+
+def with_halo(df: DataFrame, radius: int,
+              tile_rows: int = C.TILE_SIZE) -> DataFrame:
+    """Duplicate each tile-boundary row into the neighboring tile as halo.
+
+    Returns df + columns (tile, is_halo). Implemented as a 3-way union of
+    projections — no join, one shuffle when the consumer groups by
+    (cell_id, tile). Halo rows to tile -1 / beyond the last tile are
+    dropped by the r-range filters of the receiving side (a kernel only
+    emits core rows, so stray halos at raster borders are harmless but
+    filtered here anyway for tile>=0)."""
+    core = df.withColumn("tile", F.expr(f"r div {tile_rows}")) \
+             .withColumn("is_halo", F.lit(False))
+    up = (df.filter(F.expr(f"pmod(r, {tile_rows}) < {radius}"))
+            .withColumn("tile", F.expr(f"r div {tile_rows} - 1"))
+            .filter(F.col("tile") >= 0)
+            .withColumn("is_halo", F.lit(True)))
+    down = (df.filter(F.expr(f"pmod(r, {tile_rows}) >= {tile_rows} - {radius}"))
+              .withColumn("tile", F.expr(f"r div {tile_rows} + 1"))
+              .withColumn("is_halo", F.lit(True)))
+    return core.unionByName(up).unionByName(down)
+
+
+def tiled_neighborhood(
+    df: DataFrame,
+    kernel: Callable[[np.ndarray], np.ndarray],
+    in_col: str,
+    out_col: str,
+    radius: int,
+    tile_rows: int = C.TILE_SIZE,
+    out_type: str = "boolean",
+) -> DataFrame:
+    """Run a 2-D neighborhood kernel tile-parallel with halo exchange.
+
+    ``kernel`` maps a bool/int raster slab -> same-shape array; it must
+    use reflect borders (all kernels in operators/kernels.py do). The
+    slab passed to the kernel covers [tile_start - radius, tile_end +
+    radius] rows; only core rows are emitted, so seam rows equal the
+    whole-raster result exactly (property-tested).
+
+    The slab's synthetic edges are only reached where the halo is
+    truncated by the true raster border — where reflect is the correct
+    semantic anyway.
+    """
+    W = C.SCENE_WIDTH
+    ensure_package_on_executors(df.sparkSession)
+    haloed = with_halo(df.select("url", "cell_id", "r", "c", in_col),
+                       radius, tile_rows)
+
+    schema = f"url string, cell_id string, r int, c int, {out_col} {out_type}"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf["r"].to_numpy()
+        tile = int(pdf["tile"].iloc[0])
+        slab_lo = r.min()
+        slab_hi = r.max()
+        h = slab_hi - slab_lo + 1
+        arr = np.zeros((h, W), dtype=bool)
+        arr[r - slab_lo, pdf["c"].to_numpy()] = \
+            pdf[in_col].to_numpy().astype(bool)
+        res = kernel(arr)
+        core = ~pdf["is_halo"].to_numpy()
+        rr = r[core]
+        return pd.DataFrame({
+            "url": pdf["url"].to_numpy()[core],
+            "cell_id": pdf["cell_id"].to_numpy()[core],
+            "r": rr.astype(np.int32),
+            "c": pdf["c"].to_numpy()[core].astype(np.int32),
+            out_col: res[rr - slab_lo, pdf["c"].to_numpy()[core]],
+        })
+
+    return haloed.groupBy("cell_id", "tile").applyInPandas(run, schema=schema)
+
+
+def salted_repartition(df: DataFrame, target_rows_per_partition: int = 500_000,
+                       key: str = "cell_id") -> DataFrame:
+    """Explicit skew salting (north rule): a cheap count pre-pass derives
+    a per-cell salt factor; rows are repartitioned on (key, salt bucket)
+    so one Zipf-hot cell spreads over ceil(n/target) partitions.
+
+    The salt table is tiny (one row per cell) -> broadcast join."""
+    counts = df.groupBy(key).count() \
+        .withColumn("salt_n", F.expr(
+            f"greatest(1, cast(ceil(count / {target_rows_per_partition}) as int))")) \
+        .drop("count")
+    salted = (df.join(F.broadcast(counts), key)
+                .withColumn("salt", F.expr("pmod(hash(url), salt_n)")))
+    return salted.repartition(F.col(key), F.col("salt")).drop("salt_n", "salt")
