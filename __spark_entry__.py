@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 from python_fmask_spark import oracle, pipeline  # noqa: E402
 from python_fmask_spark.dialect import DUCKDB, SPARK  # noqa: E402
-from python_fmask_spark.functions import dedup, multimodal, relational  # noqa: E402
+from python_fmask_spark.functions import angles, dedup, geo, multimodal, relational  # noqa: E402
 from python_fmask_spark.functions import similarity, text as textfn  # noqa: E402
 from python_fmask_spark.sources import register_views  # noqa: E402
 
@@ -49,6 +49,12 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_fingerprint": textfn.q_fingerprint,
     # multimodal binary plumbing
     "html_meta": multimodal.q_html_meta,
+    # raster<->vector bridge
+    "geo_point_in_polygon": geo.q_point_in_polygon,
+    "geo_knn_tile_neighbor": geo.q_knn_tile_neighbor,
+    # radiometric chain (P23-P29)
+    "sun_angles": angles.q_sun_angles,
+    "toa_reflectance": angles.q_toa_reflectance,
     # relational surface
     "rel_lineitem_agg": relational.q_lineitem_agg,
     "rel_orders_topk": relational.q_orders_topk,
@@ -56,6 +62,25 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "rel_events_window": relational.q_events_window,
     "rel_antijoin": relational.q_supplier_part_antijoin,
 }
+
+
+def _cloud_interim_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side runs the tiled-kernel morphology (the scale path);
+    the DuckDB oracle runs the equivalent declarative self-join SQL —
+    the driver compare proves kernel == SQL."""
+    register_views(spark, sf_dir)
+    df = pipeline.interim_class_kernel(spark)
+    return df.selectExpr(
+        "url", "cell_id", "r", "c",
+        "cast(case when cloud_raw then 1 else 0 end as int) AS cloud_raw_i",
+        "cast(case when cloud_m then 1 else 0 end as int) AS cloud_i")
+
+
+def _fmask_interim_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    df = pipeline.interim_class_kernel(spark)
+    return df.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                         "sha2(text, 256) AS text_sha256")
 
 
 def _fmask_final_class(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, builder in _SQL_QUERIES.items():
         out[name] = _make_sql_query(builder)
+    # Spark side on the tiled-kernel path, oracle stays declarative SQL:
+    # the driver compare proves kernel morphology == SQL semantics.
+    out["cloud_interim"] = _cloud_interim_kernel
+    out["fmask_interim_class"] = _fmask_interim_kernel
     # kernel-path operators (no SQL oracle -> rows-only driver check)
     out["fmask_final_class"] = _fmask_final_class
     out["multimodal_features"] = _multimodal_features

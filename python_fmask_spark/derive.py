@@ -171,13 +171,17 @@ def angle_exprs(d: str) -> dict[str, str]:
     }
 
 
-def features_sql(d: str, docs_sql: str) -> str:
+def features_sql(d: str, docs_sql: str, layout: bool = True) -> str:
     """Full doc_features derivation as a CTE chain over documents_wide.
 
     Pixel layout: within each cell, documents are laid out row-major in
     url order at fixed raster width SCENE_WIDTH; the cell is one fmask
     "scene" (the reference processes scenes independently,
-    fmask/fmask.py:96-221)."""
+    fmask/fmask.py:96-221).
+
+    ``layout=False`` skips the row_number pixel layout (needed for
+    Structured Streaming, where non-time window functions are
+    unsupported; the pass-1 predicates are per-document anyway)."""
     geo = geo_exprs(d)
     bands = band_exprs(d)
     ang = angle_exprs(d)
@@ -190,6 +194,25 @@ def features_sql(d: str, docs_sql: str) -> str:
     cell_sel = ", ".join(f"{geo[n]} AS {n}" for n in ("cell_x", "cell_y"))
     band_sel = ", ".join(f"{e} AS {n}" for n, e in bands.items())
     ang_sel = ", ".join(f"{e} AS {n}" for n, e in ang.items())
+
+    if layout:
+        tail = f"""
+feat1 AS (
+  SELECT *,
+    (row_number() OVER (PARTITION BY cell_id ORDER BY url) - 1) AS idx
+  FROM feat0b
+),
+features AS (
+  SELECT *,
+    cast({idiv('idx', str(W), d)} as int) AS r,
+    cast(idx % {W} as int) AS c
+  FROM feat1
+)"""
+    else:
+        tail = """
+features AS (
+  SELECT * FROM feat0b
+)"""
 
     return f"""
 docs AS ({docs_sql}),
@@ -209,17 +232,10 @@ feat0 AS (
   SELECT *, {band_sel}
   FROM geo2
 ),
-feat1 AS (
-  SELECT *, {ang_sel},
-    (row_number() OVER (PARTITION BY cell_id ORDER BY url) - 1) AS idx
+feat0b AS (
+  SELECT *, {ang_sel}
   FROM feat0
-),
-features AS (
-  SELECT *,
-    cast({idiv('idx', str(W), d)} as int) AS r,
-    cast(idx % {W} as int) AS c
-  FROM feat1
-)
+),{tail}
 """.strip()
 
 

@@ -45,6 +45,48 @@ def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
     return spark.sql(pass3_sql(table))
 
 
+def interim_class_kernel(spark: SparkSession, table: str = "documents",
+                         params: FmaskParams | None = None) -> DataFrame:
+    """Interim classification (no shadow chain) via the tiled-kernel path:
+    pass3 columns -> tiled 3x3 majority (halo 1) -> tiled circular
+    dilation (halo = buffer radius) -> precedence CASE. Matches the
+    declarative SQL oracle bit-for-bit (driver-checked) while running the
+    morphology tile-parallel — the 100-TB plan shape."""
+    from pyspark.sql import functions as F
+
+    from . import tiling
+    from .operators import kernels
+
+    params = params or FmaskParams()
+    p3 = pass3_df(spark, table).select(
+        "url", "cell_id", "r", "c", "text", "nullmask", "water_test",
+        "snow", "cloud_raw")
+
+    maj = tiling.tiled_neighborhood(
+        p3, kernels.majority3_buffer, "cloud_raw", "cloudbuf", radius=1,
+        passthrough=("text", "nullmask", "water_test", "snow"))
+    maj = maj.withColumn("cloud_m",
+                         F.expr("cloudbuf AND NOT nullmask"))
+
+    rad = int(params.cloud_buffer_px)
+
+    def dil(a):
+        return kernels.dilate(a, params.cloud_buffer_px)
+
+    dilated = tiling.tiled_neighborhood(
+        maj, dil, "cloud_m", "clouddil", radius=rad,
+        passthrough=("text", "nullmask", "water_test", "snow", "cloud_raw"))
+    return dilated.select(
+        "url", "cell_id", "r", "c", "cloud_raw", "cloud_m", "clouddil",
+        "nullmask", "water_test", "snow", "text",
+        F.expr(f"""cast(case
+            when nullmask then {0}
+            when clouddil then {2}
+            when snow then {4}
+            when water_test then {5}
+            else {1} end as int)""").alias("fmask_class"))
+
+
 def classify(spark: SparkSession, table: str = "documents",
              params: FmaskParams | None = None) -> DataFrame:
     """Full classification: returns (url, cell_id, r, c, fmask_class,

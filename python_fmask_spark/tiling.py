@@ -63,6 +63,7 @@ def tiled_neighborhood(
     radius: int,
     tile_rows: int = C.TILE_SIZE,
     out_type: str = "boolean",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Run a 2-D neighborhood kernel tile-parallel with halo exchange.
 
@@ -78,14 +79,18 @@ def tiled_neighborhood(
     """
     W = C.SCENE_WIDTH
     ensure_package_on_executors(df.sparkSession)
-    haloed = with_halo(df.select("url", "cell_id", "r", "c", in_col),
-                       radius, tile_rows)
+    passthrough = tuple(p for p in passthrough if p != in_col)
+    sel = ["url", "cell_id", "r", "c", in_col, *passthrough]
+    haloed = with_halo(df.select(*sel), radius, tile_rows)
 
-    schema = f"url string, cell_id string, r int, c int, {out_col} {out_type}"
+    dtypes = dict(df.dtypes)
+    pass_schema = "".join(
+        f", {name} {dtypes[name]}" for name in (in_col, *passthrough))
+    schema = (f"url string, cell_id string, r int, c int, "
+              f"{out_col} {out_type}{pass_schema}")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         r = pdf["r"].to_numpy()
-        tile = int(pdf["tile"].iloc[0])
         slab_lo = r.min()
         slab_hi = r.max()
         h = slab_hi - slab_lo + 1
@@ -95,13 +100,16 @@ def tiled_neighborhood(
         res = kernel(arr)
         core = ~pdf["is_halo"].to_numpy()
         rr = r[core]
-        return pd.DataFrame({
+        out = {
             "url": pdf["url"].to_numpy()[core],
             "cell_id": pdf["cell_id"].to_numpy()[core],
             "r": rr.astype(np.int32),
             "c": pdf["c"].to_numpy()[core].astype(np.int32),
             out_col: res[rr - slab_lo, pdf["c"].to_numpy()[core]],
-        })
+        }
+        for name in (in_col, *passthrough):
+            out[name] = pdf[name].to_numpy()[core]
+        return pd.DataFrame(out)
 
     return haloed.groupBy("cell_id", "tile").applyInPandas(run, schema=schema)
 
