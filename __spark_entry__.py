@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 from python_fmask_spark import oracle, pipeline  # noqa: E402
 from python_fmask_spark.dialect import DUCKDB, SPARK  # noqa: E402
-from python_fmask_spark.functions import angles, dedup, geo, multimodal, relational  # noqa: E402
+from python_fmask_spark.functions import angles, dedup, geo, inventory, multimodal, relational  # noqa: E402
 from python_fmask_spark.functions import similarity, text as textfn  # noqa: E402
 from python_fmask_spark.sources import register_views  # noqa: E402
 
@@ -55,6 +55,11 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     # radiometric chain (P23-P29)
     "sun_angles": angles.q_sun_angles,
     "toa_reflectance": angles.q_toa_reflectance,
+    # inventory ops (P26/A10/A11/J3)
+    "zero_band_check": inventory.q_zero_band_check,
+    "value_index": inventory.q_value_index,
+    "cell_corners": inventory.q_cell_corners,
+    "resample_coarse": inventory.q_resample_coarse,
     # relational surface
     "rel_lineitem_agg": relational.q_lineitem_agg,
     "rel_orders_topk": relational.q_orders_topk,

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+Phase 0 (untimed, shared): derive pass-3 pixel columns for a
+deterministic xREPLICATE expansion of the documents table and
+materialize them to parquet — this is the serial Catalyst-planning-heavy
+part and is identical input for both runs.
+
+Phase 1 (timed, per level): on a fresh JVM at local[N], run the tiled
+morphology + scene classification over the materialized pixels and
+count the output. Throughput = tiles/sec; efficiency = (T_lo/T_hi) /
+(hi/lo). This mirrors a cluster resize: same data, same plan, only the
+executor count changes.
+
+Usage: python bench_scaling.py [--sf DIR] [--replicate 64]
+       [--levels 8,32] [--write-md]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+PREP = r'''
+import sys, time
+sys.path.insert(0, "/root/repo")
+from python_fmask_spark.session import get_spark
+from python_fmask_spark.sources import load_documents_wide
+from python_fmask_spark import derive
+from python_fmask_spark.dialect import SPARK
+
+sf, rep, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+spark = get_spark(master="local[16]", app_name="scaleprep")
+docs = load_documents_wide(spark, sf, replicate=rep)
+docs.createOrReplaceTempView("documents_wide")
+ctes = ",\n".join([
+    derive.features_sql(SPARK, "SELECT * FROM documents_wide"),
+    derive.pass1_sql(SPARK), derive.thresholds_sql(SPARK),
+    derive.pass2_sql(SPARK), derive.pass3_sql(SPARK),
+])
+spark.sql("WITH " + ctes + """
+  SELECT url, cell_id, r, c, text, nir, bt, nullmask, water_test, snow,
+         cloud_raw, g_tlow, g_thigh, g_b4_17,
+         sun_az, sun_zen, sat_az, sat_zen
+  FROM pass3""").write.mode("overwrite").parquet(out)
+spark.stop()
+print("PREP_DONE")
+'''
+
+WORKER = r'''
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from python_fmask_spark.session import get_spark
+from python_fmask_spark import tiling
+from python_fmask_spark.operators import kernels
+from python_fmask_spark.operators.scene import (FmaskParams,
+                                                SCENE_OUT_SCHEMA,
+                                                classify_scene)
+import pyspark.sql.functions as F
+
+cpus, path = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(master=f"local[{cpus}]", app_name=f"scal{cpus}",
+                  shuffle_partitions=max(cpus * 2, 16))
+p3 = spark.read.parquet(path)
+p3.limit(10).count()  # warmup: open files, JIT
+
+params = FmaskParams()
+t0 = time.perf_counter()
+# tiled morphology (the per-tile classify+join path)
+maj = tiling.tiled_neighborhood(
+    p3, kernels.majority3_buffer, "cloud_raw", "cloudbuf", radius=1,
+    passthrough=("nullmask", "water_test", "snow"))
+maj = maj.withColumn("cloud_m", F.expr("cloudbuf AND NOT nullmask"))
+dil = tiling.tiled_neighborhood(
+    maj, lambda a: kernels.dilate(a, params.cloud_buffer_px),
+    "cloud_m", "clouddil", radius=int(params.cloud_buffer_px),
+    passthrough=("nullmask", "water_test", "snow"))
+stats = dil.selectExpr(
+    "count(*) AS n_rows",
+    "count(distinct cell_id) AS n_cells",
+    "count(distinct concat(cell_id, '#', cast(r div 32 as string))) AS n_tiles",
+).collect()[0]
+wall_morph = time.perf_counter() - t0
+
+# full scene classify (shadow chain) from the same input
+t1 = time.perf_counter()
+n_out = (p3.groupBy("cell_id")
+         .applyInPandas(lambda pdf: classify_scene(pdf, params),
+                        schema=SCENE_OUT_SCHEMA)
+         .count())
+wall_scene = time.perf_counter() - t1
+
+wall = wall_morph + wall_scene
+print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
+                  "wall_morph_sec": round(wall_morph, 3),
+                  "wall_scene_sec": round(wall_scene, 3),
+                  "n_rows": stats.n_rows, "n_cells": stats.n_cells,
+                  "n_tiles": stats.n_tiles, "n_out": n_out,
+                  "tiles_per_sec": round(stats.n_tiles / wall, 3)}))
+spark.stop()
+'''
+
+
+def _run(code: str, args: list[str], timeout: int = 2400) -> str:
+    out = subprocess.run([sys.executable, "-c", code, *args],
+                         capture_output=True, text=True, timeout=timeout,
+                         cwd="/root/repo")
+    if out.returncode != 0:
+        raise RuntimeError(f"subprocess failed: {out.stderr[-2000:]}")
+    return out.stdout
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=64)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--write-md", action="store_true")
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    with tempfile.TemporaryDirectory() as td:
+        p3path = os.path.join(td, "pass3")
+        _run(PREP, [args.sf, str(args.replicate), p3path])
+        results = {}
+        for cpus in (lo, hi):
+            stdout = _run(WORKER, [str(cpus), p3path])
+            line = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+            results[cpus] = json.loads(line[-1])
+
+    ratio = results[lo]["wall_sec"] / results[hi]["wall_sec"]
+    eff = ratio / (hi / lo)
+    result = {
+        "metric": f"scaling efficiency (T{lo}/T{hi})/{hi // lo}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "runs": {str(k): v for k, v in results.items()},
+        "speedup": round(ratio, 3),
+        "sf": args.sf,
+        "replicate": args.replicate,
+    }
+    print(json.dumps(result))
+    if args.write_md:
+        os.makedirs("/root/repo/BENCH", exist_ok=True)
+        md = "/root/repo/BENCH/BASELINE.md"
+        new = not os.path.exists(md)
+        with open(md, "a") as f:
+            if new:
+                f.write("# BENCH/BASELINE — two-parallelism scaling "
+                        "evidence\n\n"
+                        "| levels | tiles/sec | speedup | efficiency | "
+                        "config |\n|---|---|---|---|---|\n")
+            f.write(
+                f"| local[{lo}] vs local[{hi}] | "
+                f"{results[lo]['tiles_per_sec']} vs "
+                f"{results[hi]['tiles_per_sec']} | {ratio:.2f}x | "
+                f"{eff:.3f} | sf={args.sf} rep={args.replicate} "
+                f"tiles={results[hi]['n_tiles']} "
+                f"rows={results[hi]['n_rows']} "
+                f"morph={results[lo]['wall_morph_sec']}/"
+                f"{results[hi]['wall_morph_sec']}s "
+                f"scene={results[lo]['wall_scene_sec']}/"
+                f"{results[hi]['wall_scene_sec']}s |\n")
+
+
+if __name__ == "__main__":
+    main()

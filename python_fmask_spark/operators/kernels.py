@@ -74,6 +74,94 @@ def dilate(mask: np.ndarray, radius: float) -> np.ndarray:
     return neighbor_count(mask, buffer_offsets(radius)) > 0
 
 
+def box_mean(img: np.ndarray, win: int) -> np.ndarray:
+    """Uniform (box) filter mean with reflect borders — float analogue of
+    neighbor_count, used by focal variance."""
+    h, w = img.shape
+    half = (win - 1) // 2
+    out = np.zeros((h, w), dtype=np.float64)
+    rows_base = np.arange(h)
+    cols_base = np.arange(w)
+    for dr in range(-half, half + 1):
+        rr = _reflect_idx(rows_base + dr, h)
+        rr_c = np.clip(rr, 0, h - 1)
+        row_valid = (rr >= 0)
+        for dc in range(-half, half + 1):
+            cc = _reflect_idx(cols_base + dc, w)
+            cc_c = np.clip(cc, 0, w - 1)
+            valid = row_valid[:, None] & (cc >= 0)[None, :]
+            out += np.where(valid, img[np.ix_(rr_c, cc_c)], 0.0)
+    return out / (win * win)
+
+
+def focal_variance(img: np.ndarray, win: int) -> np.ndarray:
+    """Focal variance E[x^2] - E[x]^2 over a win x win window
+    (focalVariance, fmask/fmask.py:1399-1409)."""
+    img32 = img.astype(np.float32).astype(np.float64)
+    m = box_mean(img32, win)
+    m2 = box_mean(img32 ** 2, win)
+    return m2 - m ** 2
+
+
+def binary_erode4(mask: np.ndarray) -> np.ndarray:
+    """Binary erosion, 4-connected cross structure, border treated as
+    False (scipy binary_erosion defaults, used at fmask/fmask.py:402)."""
+    h, w = mask.shape
+    out = mask.copy()
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+    out &= padded[:-2, 1:-1] & padded[2:, 1:-1] \
+        & padded[1:-1, :-2] & padded[1:-1, 2:]
+    return out
+
+
+def region_grow(seed: np.ndarray, grow_mask: np.ndarray) -> np.ndarray:
+    """Constrained region grow to fixpoint:
+    ``binary_dilation(seed, mask=grow_mask, iterations=0)``
+    (fmask/fmask.py:405) — repeatedly 4-dilate the seed, intersect with
+    grow_mask, until stable. Seed pixels are kept regardless."""
+    cur = seed.copy()
+    while True:
+        h, w = cur.shape
+        padded = np.zeros((h + 2, w + 2), dtype=bool)
+        padded[1:-1, 1:-1] = cur
+        dil = cur | padded[:-2, 1:-1] | padded[2:, 1:-1] \
+            | padded[1:-1, :-2] | padded[1:-1, 2:]
+        nxt = seed | (dil & grow_mask)
+        if (nxt == cur).all():
+            return nxt
+        cur = nxt
+
+
+def calc_cdi(ref_nir: np.ndarray, ref_nir8a: np.ndarray,
+             ref_nir7: np.ndarray, win: int = 7) -> np.ndarray:
+    """Cloud Displacement Index (Frantz 2018; calcCDI,
+    fmask/fmask.py:1412-1429): band ratios -> focal variances ->
+    normalized difference with divide-by-zero guard."""
+    ratio_8a8 = ref_nir / ref_nir8a
+    ratio_8a7 = ref_nir7 / ref_nir8a
+    v8a8 = focal_variance(ratio_8a8, win)
+    v8a7 = focal_variance(ratio_8a7, win)
+    cdi = np.zeros(v8a7.shape, dtype=np.float32)
+    div_ok = (v8a7 + v8a8) != 0
+    cdi[div_ok] = ((v8a7[div_ok] - v8a8[div_ok])
+                   / (v8a7[div_ok] + v8a8[div_ok]))
+    return cdi
+
+
+def cdi_pcp_filter(pcp: np.ndarray, cdi: np.ndarray) -> np.ndarray:
+    """Sentinel-2 displacement-test PCP restriction
+    (fmask/fmask.py:398-406): erode the confident selection
+    (cdi < -0.5), region-grow within (cdi < -0.25), keep only PCP
+    pixels inside the grown selection."""
+    selection = binary_erode4(pcp & (cdi < -0.5))
+    rg_mask = pcp & (cdi < -0.25)
+    selection = region_grow(selection, rg_mask)
+    out = pcp.copy()
+    out[~selection] = False
+    return out
+
+
 # ---------------------------------------------------------------------------
 # connected-component labeling (scipy.ndimage.label transcription)
 # ---------------------------------------------------------------------------
