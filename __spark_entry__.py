@@ -42,6 +42,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
+    "dedup_embedding_cosine": similarity.q_embedding_near_dup,
     # text analysis
     "text_lang_id": textfn.q_lang_id,
     "text_quality": textfn.q_quality_score,

@@ -43,10 +43,10 @@ def run_bench(spark, sf_dir: str, replicate: int = 1) -> dict:
     spark.sql(oracle.q_pass1_thresholds(SPARK)).collect()
     queries["q2_thresholds"] = time.perf_counter() - t0
 
-    # q3: interim class via declarative joins (majority + dilation in SQL)
+    # q3: interim class via the tiled-kernel path (halo exchange)
     t0 = time.perf_counter()
-    spark.sql(oracle.q_fmask_interim_class(SPARK)).count()
-    queries["q3_interim_class_sql"] = time.perf_counter() - t0
+    pipeline.interim_class_kernel(spark).count()
+    queries["q3_interim_class_kernel"] = time.perf_counter() - t0
 
     # q4 (headline): FULL classify incl. shadow chain, kernel path
     t0 = time.perf_counter()
@@ -54,6 +54,17 @@ def run_bench(spark, sf_dir: str, replicate: int = 1) -> dict:
     rows = out.groupBy("cell_id").count().collect()
     queries["q4_full_classify"] = time.perf_counter() - t0
     n_cells = len(rows)
+
+    # q5: minhash-LSH dedup pairs
+    from python_fmask_spark.functions import dedup, similarity
+    t0 = time.perf_counter()
+    spark.sql(dedup.q_minhash_pairs(SPARK)).count()
+    queries["q5_minhash_pairs"] = time.perf_counter() - t0
+
+    # q6: brute-force cosine top-k over embeddings
+    t0 = time.perf_counter()
+    spark.sql(similarity.q_ann_bruteforce(SPARK)).count()
+    queries["q6_ann_bruteforce"] = time.perf_counter() - t0
 
     tiles_per_sec = n_cells / queries["q4_full_classify"]
     return {

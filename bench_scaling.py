@@ -35,11 +35,13 @@ from python_fmask_spark import derive
 from python_fmask_spark.dialect import SPARK
 
 sf, rep, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+cell_deg = float(sys.argv[4])
 spark = get_spark(master="local[16]", app_name="scaleprep")
 docs = load_documents_wide(spark, sf, replicate=rep)
 docs.createOrReplaceTempView("documents_wide")
 ctes = ",\n".join([
-    derive.features_sql(SPARK, "SELECT * FROM documents_wide"),
+    derive.features_sql(SPARK, "SELECT * FROM documents_wide",
+                        cell_deg=cell_deg),
     derive.pass1_sql(SPARK), derive.thresholds_sql(SPARK),
     derive.pass2_sql(SPARK), derive.pass3_sql(SPARK),
 ])
@@ -67,7 +69,12 @@ cpus, path = int(sys.argv[1]), sys.argv[2]
 spark = get_spark(master=f"local[{cpus}]", app_name=f"scal{cpus}",
                   shuffle_partitions=max(cpus * 2, 16))
 p3 = spark.read.parquet(path)
-p3.limit(10).count()  # warmup: open files, JIT
+# warmup: spin up ALL python workers + JIT with a small haloed kernel
+# pass over a sample, so worker startup is excluded from the timing
+from python_fmask_spark import tiling as _t
+from python_fmask_spark.operators import kernels as _k
+_t.tiled_neighborhood(p3.sample(0.02, seed=1), _k.majority3_buffer,
+                      "cloud_raw", "w", radius=1).count()
 
 params = FmaskParams()
 t0 = time.perf_counter()
@@ -119,7 +126,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--replicate", type=int, default=64)
+    ap.add_argument("--replicate", type=int, default=256)
+    ap.add_argument("--cell-deg", type=float, default=10.0)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args()
@@ -127,7 +135,7 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         p3path = os.path.join(td, "pass3")
-        _run(PREP, [args.sf, str(args.replicate), p3path])
+        _run(PREP, [args.sf, str(args.replicate), p3path, str(args.cell_deg)])
         results = {}
         for cpus in (lo, hi):
             stdout = _run(WORKER, [str(cpus), p3path])
@@ -160,7 +168,7 @@ def main() -> None:
                 f"| local[{lo}] vs local[{hi}] | "
                 f"{results[lo]['tiles_per_sec']} vs "
                 f"{results[hi]['tiles_per_sec']} | {ratio:.2f}x | "
-                f"{eff:.3f} | sf={args.sf} rep={args.replicate} "
+                f"{eff:.3f} | sf={args.sf} rep={args.replicate} cell_deg={args.cell_deg} "
                 f"tiles={results[hi]['n_tiles']} "
                 f"rows={results[hi]['n_rows']} "
                 f"morph={results[lo]['wall_morph_sec']}/"

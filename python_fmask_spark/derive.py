@@ -63,12 +63,14 @@ def documents_wide_sql(d: str, table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def geo_exprs(d: str) -> dict[str, str]:
-    """domain -> (lat, lon) -> grid cell. Deterministic, SQL-only."""
+def geo_exprs(d: str, cell_deg: float | None = None) -> dict[str, str]:
+    """domain -> (lat, lon) -> grid cell. Deterministic, SQL-only.
+    ``cell_deg`` overrides the grid resolution (production tuning knob;
+    finer grids mean more, smaller cells)."""
     domain = "split_part(url, '/', 3)"
     lat = f"({_dbl(f'({md5_slice_int(domain, 1, 8, d)} % 180000)')} / 1000.0 - 90.0)"
     lon = f"({_dbl(f'({md5_slice_int(domain, 9, 8, d)} % 360000)')} / 1000.0 - 180.0)"
-    step = C.CELL_DEG
+    step = cell_deg if cell_deg is not None else C.CELL_DEG
     cell_x = f"cast(floor((lon + 180.0) / {step}) as int)"
     cell_y = f"cast(floor((lat + 90.0) / {step}) as int)"
     n_x = int(round(360.0 / step))
@@ -171,7 +173,8 @@ def angle_exprs(d: str) -> dict[str, str]:
     }
 
 
-def features_sql(d: str, docs_sql: str, layout: bool = True) -> str:
+def features_sql(d: str, docs_sql: str, layout: bool = True,
+                 cell_deg: float | None = None) -> str:
     """Full doc_features derivation as a CTE chain over documents_wide.
 
     Pixel layout: within each cell, documents are laid out row-major in
@@ -182,7 +185,7 @@ def features_sql(d: str, docs_sql: str, layout: bool = True) -> str:
     ``layout=False`` skips the row_number pixel layout (needed for
     Structured Streaming, where non-time window functions are
     unsupported; the pass-1 predicates are per-document anyway)."""
-    geo = geo_exprs(d)
+    geo = geo_exprs(d, cell_deg=cell_deg)
     bands = band_exprs(d)
     ang = angle_exprs(d)
     W = C.SCENE_WIDTH

@@ -77,6 +77,31 @@ SELECT query_id, cand_id, rank, cosine_micro
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def q_embedding_near_dup(d: str, threshold: float = 0.45) -> str:
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
+    cosine exceeds the threshold. At scale this runs over LSH-bucket
+    candidates (q_ann_lsh's bucket join); the oracle form is exact over
+    all pairs — the synthetic embeddings have max pairwise cosine ~0.51, so the 0.45
+    default yields a small non-trivial pair set."""
+    return f"""
+WITH {_intvec_cte(d)},
+norms AS (
+  SELECT vec_id, sum(v * v) AS nrm FROM iv GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM iv a JOIN iv b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.id_a, d.id_b,
+  cast(round(1000000.0 * d.dot / (sqrt(na.nrm) * sqrt(nb.nrm))) as bigint)
+    AS cosine_micro
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE cast(d.dot as double) / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {threshold}"""
+
+
 def _plane_sign(d: str) -> str:
     """Pseudo-random +-1 hyperplane component for (plane p, dim i)."""
     h = md5_slice_int("concat('plane_', cast(p as varchar), '_', "
