@@ -86,7 +86,7 @@ def _fmask_interim_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     df = pipeline.interim_class_kernel(spark)
     return df.selectExpr("url", "cell_id", "r", "c", "fmask_class",
-                         "sha2(text, 256) AS text_sha256")
+                         "text_sha256")
 
 
 def _fmask_final_class(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +96,7 @@ def _fmask_final_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     out = pipeline.classify(spark)
     return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
-                          "cloud_id", "sha2(text, 256) AS text_sha256")
+                          "cloud_id", "text_sha256")
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,7 +46,7 @@ ctes = ",\n".join([
     derive.pass2_sql(SPARK), derive.pass3_sql(SPARK),
 ])
 spark.sql("WITH " + ctes + """
-  SELECT url, cell_id, r, c, text, nir, bt, nullmask, water_test, snow,
+  SELECT url, cell_id, r, c, sha2(text, 256) AS text_sha256, nir, bt, nullmask, water_test, snow,
          cloud_raw, g_tlow, g_thigh, g_b4_17,
          sun_az, sun_zen, sat_az, sat_zen
   FROM pass3""").write.mode("overwrite").parquet(out)

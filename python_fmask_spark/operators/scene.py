@@ -123,9 +123,9 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
         "c": cc.astype(np.int32),
         "fmask_class": out[rr, cc].astype(np.int32),
         "cloud_id": clumps[rr, cc].astype(np.int64),
-        "text": pdf["text"].to_numpy(),
+        "text_sha256": pdf["text_sha256"].to_numpy(),
     })
 
 
 SCENE_OUT_SCHEMA = ("url string, cell_id string, r int, c int, "
-                    "fmask_class int, cloud_id bigint, text string")
+                    "fmask_class int, cloud_id bigint, text_sha256 string")

@@ -23,7 +23,11 @@ from .session import ensure_package_on_executors
 
 # Columns the scene kernel needs (everything else is pruned before the
 # shuffle — keep the exchanged bytes minimal).
-_KERNEL_COLS = ("url", "cell_id", "r", "c", "text", "nir", "bt",
+# text itself is NOT shuffled through the kernels — its sha256 is
+# computed JVM-side before the exchange (byte-identity travels as a
+# 64-char digest instead of the full document body).
+_KERNEL_COLS = ("url", "cell_id", "r", "c",
+                "sha2(text, 256) AS text_sha256", "nir", "bt",
                 "nullmask", "water_test", "snow", "cloud_raw",
                 "g_tlow", "g_thigh", "g_b4_17",
                 "sun_az", "sun_zen", "sat_az", "sat_zen")
@@ -42,7 +46,29 @@ def pass3_sql(table: str = "documents") -> str:
 
 
 def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
-    return spark.sql(pass3_sql(table))
+    """Pass-3 pixel columns with a materialization barrier after pass 1.
+
+    Catalyst inlines deterministic CTEs per reference; the thresholds +
+    pass2 + pass3 chain references pass1 six-plus times, so the single
+    giant plan's optimization time explodes combinatorially. Caching
+    pass1 (the reference's own inter-pass temp-raster pattern,
+    fmask/fmask.py:206-216 / SURVEY S12) keeps every plan small and
+    linear to optimize."""
+    p1_ctes = ",\n".join([
+        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
+        derive.pass1_sql(SPARK),
+    ])
+    p1 = spark.sql(f"WITH {p1_ctes} SELECT * FROM pass1").persist()
+    p1.createOrReplaceTempView(f"_pass1_mat_{table}")
+
+    tail_ctes = ",\n".join([
+        f"pass1 AS (SELECT * FROM _pass1_mat_{table})",
+        derive.thresholds_sql(SPARK),
+        derive.pass2_sql(SPARK),
+        derive.pass3_sql(SPARK),
+    ])
+    cols = ", ".join(_KERNEL_COLS)
+    return spark.sql(f"WITH {tail_ctes} SELECT {cols} FROM pass3")
 
 
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
@@ -58,15 +84,18 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
     from .operators import kernels
 
     params = params or FmaskParams()
+    # persist: with_halo unions three projections of its input — without
+    # a materialization point Spark recomputes the whole pass-1..3
+    # derivation once per branch (and 9x after the second kernel stage).
     p3 = pass3_df(spark, table).select(
-        "url", "cell_id", "r", "c", "text", "nullmask", "water_test",
-        "snow", "cloud_raw")
+        "url", "cell_id", "r", "c", "text_sha256", "nullmask",
+        "water_test", "snow", "cloud_raw").persist()
 
     maj = tiling.tiled_neighborhood(
         p3, kernels.majority3_buffer, "cloud_raw", "cloudbuf", radius=1,
-        passthrough=("text", "nullmask", "water_test", "snow"))
+        passthrough=("text_sha256", "nullmask", "water_test", "snow"))
     maj = maj.withColumn("cloud_m",
-                         F.expr("cloudbuf AND NOT nullmask"))
+                         F.expr("cloudbuf AND NOT nullmask")).persist()
 
     rad = int(params.cloud_buffer_px)
 
@@ -75,10 +104,11 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
 
     dilated = tiling.tiled_neighborhood(
         maj, dil, "cloud_m", "clouddil", radius=rad,
-        passthrough=("text", "nullmask", "water_test", "snow", "cloud_raw"))
+        passthrough=("text_sha256", "nullmask", "water_test", "snow",
+                     "cloud_raw"))
     return dilated.select(
         "url", "cell_id", "r", "c", "cloud_raw", "cloud_m", "clouddil",
-        "nullmask", "water_test", "snow", "text",
+        "nullmask", "water_test", "snow", "text_sha256",
         F.expr(f"""cast(case
             when nullmask then {0}
             when clouddil then {2}

@@ -37,22 +37,26 @@ def with_halo(df: DataFrame, radius: int,
               tile_rows: int = C.TILE_SIZE) -> DataFrame:
     """Duplicate each tile-boundary row into the neighboring tile as halo.
 
-    Returns df + columns (tile, is_halo). Implemented as a 3-way union of
-    projections — no join, one shuffle when the consumer groups by
-    (cell_id, tile). Halo rows to tile -1 / beyond the last tile are
-    dropped by the r-range filters of the receiving side (a kernel only
-    emits core rows, so stray halos at raster borders are harmless but
-    filtered here anyway for tile>=0)."""
-    core = df.withColumn("tile", F.expr(f"r div {tile_rows}")) \
-             .withColumn("is_halo", F.lit(False))
-    up = (df.filter(F.expr(f"pmod(r, {tile_rows}) < {radius}"))
-            .withColumn("tile", F.expr(f"r div {tile_rows} - 1"))
-            .filter(F.col("tile") >= 0)
-            .withColumn("is_halo", F.lit(True)))
-    down = (df.filter(F.expr(f"pmod(r, {tile_rows}) >= {tile_rows} - {radius}"))
-              .withColumn("tile", F.expr(f"r div {tile_rows} + 1"))
-              .withColumn("is_halo", F.lit(True)))
-    return core.unionByName(up).unionByName(down)
+    Returns df + columns (tile, is_halo). Implemented as a single-pass
+    explode: each row emits its core (tile, is_halo=false) entry plus up
+    to two halo entries for adjacent tiles. One scan of the input — no
+    union (a union re-evaluates an unmaterialized upstream plan once per
+    branch) and no join; the only shuffle is the consumer's groupBy on
+    (cell_id, tile)."""
+    entries = (
+        f"filter(array("
+        f"  named_struct('tile', r div {tile_rows}, 'is_halo', false),"
+        f"  if(pmod(r, {tile_rows}) < {radius} and r div {tile_rows} > 0,"
+        f"     named_struct('tile', r div {tile_rows} - 1, 'is_halo', true),"
+        f"     null),"
+        f"  if(pmod(r, {tile_rows}) >= {tile_rows} - {radius},"
+        f"     named_struct('tile', r div {tile_rows} + 1, 'is_halo', true),"
+        f"     null)"
+        f"), x -> x is not null)")
+    return (df.withColumn("_t", F.explode(F.expr(entries)))
+              .withColumn("tile", F.col("_t.tile"))
+              .withColumn("is_halo", F.col("_t.is_halo"))
+              .drop("_t"))
 
 
 def tiled_neighborhood(
@@ -125,6 +129,11 @@ def salted_repartition(df: DataFrame, target_rows_per_partition: int = 500_000,
         .withColumn("salt_n", F.expr(
             f"greatest(1, cast(ceil(count / {target_rows_per_partition}) as int))")) \
         .drop("count")
+    # explicit partition count: user-specified numbers survive AQE's
+    # small-partition coalescing (which would otherwise undo the salt
+    # fan-out at low volumes)
+    n_parts = max(1, int(counts.agg(F.sum("salt_n")).collect()[0][0] or 1))
     salted = (df.join(F.broadcast(counts), key)
                 .withColumn("salt", F.expr("pmod(hash(url), salt_n)")))
-    return salted.repartition(F.col(key), F.col("salt")).drop("salt_n", "salt")
+    return salted.repartition(n_parts, F.col(key), F.col("salt")) \
+        .drop("salt_n", "salt")

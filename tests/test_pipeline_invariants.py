@@ -25,8 +25,7 @@ def _classify_rows(spark, sf_dir):
 
 def test_text_byte_identity(spark, sf_small):
     rows = _classify_rows(spark, sf_small)
-    out_sha = {r.url: hashlib.sha256(r.text.encode()).hexdigest()
-               for r in rows}
+    out_sha = {r.url: r.text_sha256 for r in rows}
     docs = load_table(spark, sf_small, "documents").collect()
     in_sha = {}
     for d in docs:
