@@ -58,7 +58,10 @@ def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
         derive.pass1_sql(SPARK),
     ])
-    p1 = spark.sql(f"WITH {p1_ctes} SELECT * FROM pass1").persist()
+    # localCheckpoint truncates the lineage to a leaf: downstream plans
+    # (which reference pass1 five-plus times) then analyze/optimize over
+    # a LogicalRDD instead of five copies of the derivation tree.
+    p1 = spark.sql(f"WITH {p1_ctes} SELECT * FROM pass1").localCheckpoint()
     p1.createOrReplaceTempView(f"_pass1_mat_{table}")
 
     tail_ctes = ",\n".join([
@@ -89,13 +92,13 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
     # derivation once per branch (and 9x after the second kernel stage).
     p3 = pass3_df(spark, table).select(
         "url", "cell_id", "r", "c", "text_sha256", "nullmask",
-        "water_test", "snow", "cloud_raw").persist()
+        "water_test", "snow", "cloud_raw").localCheckpoint()
 
     maj = tiling.tiled_neighborhood(
         p3, kernels.majority3_buffer, "cloud_raw", "cloudbuf", radius=1,
         passthrough=("text_sha256", "nullmask", "water_test", "snow"))
     maj = maj.withColumn("cloud_m",
-                         F.expr("cloudbuf AND NOT nullmask")).persist()
+                         F.expr("cloudbuf AND NOT nullmask"))
 
     rad = int(params.cloud_buffer_px)
 
