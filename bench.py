@@ -38,9 +38,12 @@ def run_bench(spark, sf_dir: str, replicate: int = 1) -> dict:
     spark.sql(oracle.q_pass1_cell_counts(SPARK)).collect()
     queries["q1_pass1_counts"] = time.perf_counter() - t0
 
-    # q2: thresholds (histogram percentile aggregation per cell)
+    # q2: thresholds (histogram percentile aggregation per cell,
+    # via the materialized pass-1 leaf)
     t0 = time.perf_counter()
-    spark.sql(oracle.q_pass1_thresholds(SPARK)).collect()
+    view = pipeline.materialize_pass1(spark)
+    spark.sql(pipeline.tail_sql_from_pass1(
+        view, "thresholds", "SELECT * FROM thresholds")).collect()
     queries["q2_thresholds"] = time.perf_counter() - t0
 
     # q3: interim class via the tiled-kernel path (halo exchange)

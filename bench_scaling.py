@@ -67,7 +67,7 @@ import pyspark.sql.functions as F
 
 cpus, path = int(sys.argv[1]), sys.argv[2]
 spark = get_spark(master=f"local[{cpus}]", app_name=f"scal{cpus}",
-                  shuffle_partitions=max(cpus * 2, 16))
+                  shuffle_partitions=max(cpus * 4, 32))
 p3 = spark.read.parquet(path)
 # warmup: spin up ALL python workers + JIT with a small haloed kernel
 # pass over a sample, so worker startup is excluded from the timing
@@ -87,12 +87,14 @@ dil = tiling.tiled_neighborhood(
     maj, lambda a: kernels.dilate(a, params.cloud_buffer_px),
     "cloud_m", "clouddil", radius=int(params.cloud_buffer_px),
     passthrough=("nullmask", "water_test", "snow"))
+n_morph = dil.count()
+wall_morph = time.perf_counter() - t0
+# descriptive stats outside the timed region
 stats = dil.selectExpr(
     "count(*) AS n_rows",
     "count(distinct cell_id) AS n_cells",
     "count(distinct concat(cell_id, '#', cast(r div 32 as string))) AS n_tiles",
 ).collect()[0]
-wall_morph = time.perf_counter() - t0
 
 # full scene classify (shadow chain) from the same input
 t1 = time.perf_counter()
@@ -113,8 +115,16 @@ spark.stop()
 '''
 
 
-def _run(code: str, args: list[str], timeout: int = 2400) -> str:
-    out = subprocess.run([sys.executable, "-c", code, *args],
+def _run(code: str, args: list[str], timeout: int = 2400,
+         taskset_cpus: int | None = None) -> str:
+    """Run a worker subprocess; taskset pins it to the first N CPUs so a
+    local[N] run is bounded like a real N-core executor (otherwise GC,
+    shuffle IO and Python workers silently use every core and the
+    low-parallelism run is unrealistically fast)."""
+    cmd = [sys.executable, "-c", code, *args]
+    if taskset_cpus is not None:
+        cmd = ["taskset", "-c", f"0-{taskset_cpus - 1}", *cmd]
+    out = subprocess.run(cmd,
                          capture_output=True, text=True, timeout=timeout,
                          cwd="/root/repo")
     if out.returncode != 0:
@@ -138,7 +148,7 @@ def main() -> None:
         _run(PREP, [args.sf, str(args.replicate), p3path, str(args.cell_deg)])
         results = {}
         for cpus in (lo, hi):
-            stdout = _run(WORKER, [str(cpus), p3path])
+            stdout = _run(WORKER, [str(cpus), p3path], taskset_cpus=cpus)
             line = [ln for ln in stdout.splitlines() if ln.startswith("{")]
             results[cpus] = json.loads(line[-1])
 

@@ -45,33 +45,43 @@ def pass3_sql(table: str = "documents") -> str:
     return f"WITH {ctes} SELECT {cols} FROM pass3"
 
 
-def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
-    """Pass-3 pixel columns with a materialization barrier after pass 1.
+def materialize_pass1(spark: SparkSession, table: str = "documents") -> str:
+    """Materialize pass 1 behind a leaf view and return the view name.
 
     Catalyst inlines deterministic CTEs per reference; the thresholds +
-    pass2 + pass3 chain references pass1 six-plus times, so the single
-    giant plan's optimization time explodes combinatorially. Caching
-    pass1 (the reference's own inter-pass temp-raster pattern,
-    fmask/fmask.py:206-216 / SURVEY S12) keeps every plan small and
-    linear to optimize."""
+    pass2 + pass3 chain references pass1 six-plus times, so a single
+    giant plan's optimization time explodes combinatorially.
+    localCheckpoint truncates the lineage to a LogicalRDD leaf — the
+    reference's own inter-pass temp-raster pattern
+    (fmask/fmask.py:206-216 / SURVEY S12) — making every downstream plan
+    small and linear to optimize."""
+    view = f"_pass1_mat_{table}"
     p1_ctes = ",\n".join([
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
         derive.pass1_sql(SPARK),
     ])
-    # localCheckpoint truncates the lineage to a leaf: downstream plans
-    # (which reference pass1 five-plus times) then analyze/optimize over
-    # a LogicalRDD instead of five copies of the derivation tree.
     p1 = spark.sql(f"WITH {p1_ctes} SELECT * FROM pass1").localCheckpoint()
-    p1.createOrReplaceTempView(f"_pass1_mat_{table}")
+    p1.createOrReplaceTempView(view)
+    return view
 
-    tail_ctes = ",\n".join([
-        f"pass1 AS (SELECT * FROM _pass1_mat_{table})",
-        derive.thresholds_sql(SPARK),
-        derive.pass2_sql(SPARK),
-        derive.pass3_sql(SPARK),
-    ])
+
+def tail_sql_from_pass1(pass1_view: str, upto: str, select: str) -> str:
+    """Thresholds/pass2/pass3 CTE chain over a materialized pass-1 view."""
+    builders = [f"pass1 AS (SELECT * FROM {pass1_view})",
+                derive.thresholds_sql(SPARK)]
+    if upto in ("pass2", "pass3"):
+        builders.append(derive.pass2_sql(SPARK))
+    if upto == "pass3":
+        builders.append(derive.pass3_sql(SPARK))
+    ctes = ",\n".join(builders)
+    return f"WITH {ctes} {select}"
+
+
+def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
+    view = materialize_pass1(spark, table)
     cols = ", ".join(_KERNEL_COLS)
-    return spark.sql(f"WITH {tail_ctes} SELECT {cols} FROM pass3")
+    return spark.sql(tail_sql_from_pass1(
+        view, "pass3", f"SELECT {cols} FROM pass3"))
 
 
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
