@@ -99,6 +99,28 @@ def _fmask_final_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cloud_id", "text_sha256")
 
 
+def _potential_shadow_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-shadow layer (Eqn 19) via the DISTRIBUTED fill-minima
+    (tile fixpoint); rows-only driver check, property-tested equal to
+    the whole-scene kernel in tests/test_fillminima_dist.py."""
+    from python_fmask_spark.operators.fillminima_dist import (
+        fill_minima_distributed,
+    )
+    register_views(spark, sf_dir)
+    view = pipeline.materialize_pass1(spark)
+    src = spark.sql(pipeline.tail_sql_from_pass1(
+        view, "thresholds",
+        f"""SELECT p.url, p.cell_id, p.r, p.c,
+              cast(p.nir as bigint) AS nir,
+              t.b4_17 * 10000.0 AS nir17_dn
+            FROM pass1 p JOIN thresholds t ON t.cell_id = p.cell_id"""))
+    filled = fill_minima_distributed(src, "nir", nullval=0,
+                                     boundary_col="nir17_dn")
+    return filled.selectExpr(
+        "url", "cell_id", "r", "c", "nir", "filled",
+        "cast((filled - nir) / 10000.0 > 0.02 as int) AS potential_shadow")
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_fmask_spark.sources import load_documents_wide
     docs = load_documents_wide(spark, sf_dir)
@@ -161,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kernel-path operators (no SQL oracle -> rows-only driver check)
     out["fmask_final_class"] = _fmask_final_class
     out["multimodal_features"] = _multimodal_features
+    out["potential_shadow_dist"] = _potential_shadow_dist
     return out
 
 

@@ -62,12 +62,15 @@ def _local_fill_from_sources(img: np.ndarray, nullmask: np.ndarray,
 
 
 def fill_minima_distributed(df: DataFrame, img_col: str,
-                            nullval: int, boundaryval: float,
+                            nullval: int, boundaryval: float = 0.0,
                             tile_rows: int = C.TILE_SIZE,
-                            max_rounds: int = 64) -> DataFrame:
+                            max_rounds: int = 64,
+                            boundary_col: str | None = None) -> DataFrame:
     """Fill local minima of a per-cell raster column, tile-parallel.
 
-    df columns: url, cell_id, r, c, <img_col>. Returns the same rows +
+    df columns: url, cell_id, r, c, <img_col> (+ ``boundary_col`` for a
+    per-cell boundary value, e.g. the NIR 17.5-percentile DN the
+    reference uses, fmask/fmask.py:806). Returns the same rows +
     ``filled`` (bigint; == <img_col> for null pixels, like the
     reference). Results equal the whole-scene ``kernels.fill_minima``
     exactly (property-tested in tests/test_fillminima_dist.py).
@@ -89,15 +92,20 @@ def fill_minima_distributed(df: DataFrame, img_col: str,
                         f"else 0 end) = 1 "
                         f"or count(*) < (max(r) + 1) * {C.SCENE_WIDTH} "
                         f"as int) AS cell_has_null")))
-    base = (df.select("url", "cell_id", "r", "c", img_col)
-            .join(F.broadcast(meta), "cell_id")
-            .withColumn("img2", F.lit(int(_UNSET)))
-            .localCheckpoint())
-
-    bval = boundaryval
+    bcol = (F.expr(f"first({boundary_col}) AS cell_bval") if boundary_col
+            else F.expr(f"cast({boundaryval} as double) AS cell_bval"))
+    bmeta = df.groupBy("cell_id").agg(bcol) if boundary_col else None
+    base = df.select("url", "cell_id", "r", "c", img_col)         .join(F.broadcast(meta), "cell_id")
+    if bmeta is not None:
+        base = base.join(F.broadcast(bmeta), "cell_id")
+    else:
+        base = base.withColumn("cell_bval",
+                               F.expr(f"cast({boundaryval} as double)"))
+    base = base.withColumn("img2", F.lit(int(_UNSET))).localCheckpoint()
     schema = ("url string, cell_id string, r int, c int, "
               f"{img_col} bigint, h_max bigint, h_min bigint, "
-              "cell_h int, cell_has_null int, img2 bigint, changed int")
+              "cell_h int, cell_has_null int, cell_bval double, "
+              "img2 bigint, changed int")
 
     def one_round(pdf: pd.DataFrame) -> pd.DataFrame:
         rr = pdf["r"].to_numpy()
@@ -108,7 +116,7 @@ def fill_minima_distributed(df: DataFrame, img_col: str,
         h_min = int(pdf["h_min"].iloc[0])
         cell_h = int(pdf["cell_h"].iloc[0])
         cell_has_null = bool(pdf["cell_has_null"].iloc[0])
-        b = int(min(max(bval, h_min), h_max))
+        b = int(min(max(float(pdf["cell_bval"].iloc[0]), h_min), h_max))
 
         img = np.zeros((h, W), dtype=np.int64)
         img[rr - lo, cc] = pdf[img_col].to_numpy()
@@ -155,6 +163,7 @@ def fill_minima_distributed(df: DataFrame, img_col: str,
             "h_min": pdf["h_min"].to_numpy()[core],
             "cell_h": pdf["cell_h"].to_numpy()[core],
             "cell_has_null": pdf["cell_has_null"].to_numpy()[core],
+            "cell_bval": pdf["cell_bval"].to_numpy()[core],
             "img2": out_img2,
             "changed": changed,
         })
