@@ -33,6 +33,8 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "pass2_probs": oracle.q_pass2_probs,
     "cloud_interim": oracle.q_cloud_interim,
     "fmask_interim_class": oracle.q_fmask_interim_class,
+    "pass1_cell_counts_l47": oracle.q_pass1_cell_counts_l47,
+    "fmask_interim_class_s2": oracle.q_fmask_interim_class_s2,
     # dedup family
     "dedup_exact": dedup.q_exact_dedup,
     "dedup_minhash_signatures": dedup.q_minhash_signatures,

@@ -260,11 +260,20 @@ def bt_expr() -> str:
     return f"({C.THERMAL_K2} / ln({C.THERMAL_K1} / {rad} + 1.0) - {C.KELVIN_ZERO_DEGC})"
 
 
-def pass1_sql(d: str) -> str:
+def pass1_sql(d: str, sensor: str = "LANDSAT8") -> str:
     """CTE chain computing pass-1 layers over ``features``.
 
     Produces the 8 layers of the reference's pass1 stack
-    (fmask/fmask.py:459-460) plus histogram bins and carried columns."""
+    (fmask/fmask.py:459-460) plus histogram bins and carried columns.
+
+    ``sensor`` reproduces the reference's dispatch (fmask/config.py:33-40;
+    fmask/fmask.py:287-308,364-365,389-392,454-455):
+      LANDSAT8  — 7 null bands, cirrus test, thermal terms (default)
+      LANDSAT47 — 6 null bands (no cirrus), thermal terms
+      SENTINEL2 — visible-only null bands, cirrus test, NO thermal
+    """
+    has_thermal = sensor != "SENTINEL2"
+    has_cirrus = sensor in ("LANDSAT8", "SENTINEL2")
     refs = {b: _ref(b) for b in
             ("blue", "green", "red", "nir", "swir1", "swir2", "cirrus")}
     ref_sel = ", ".join(f"{e} AS ref_{n}" for n, e in refs.items())
@@ -279,14 +288,30 @@ def pass1_sql(d: str) -> str:
         f"cast(least(greatest({round_half_even(f'({vprob} * {C.PROB_SCALE})', d)},"
         f" {C.BYTE_MIN}), {C.BYTE_MAX}) as int)")
 
+    if sensor == "SENTINEL2":
+        null_bands = " OR ".join(
+            f"{b} = {C.REF_NULL_DN}" for b in ("blue", "green", "red"))
+    elif sensor == "LANDSAT47":
+        null_bands = " OR ".join(
+            f"{b} = {C.REF_NULL_DN}"
+            for b in ("blue", "green", "red", "nir", "swir1", "swir2"))
+    else:
+        null_bands = " OR ".join(
+            f"{b} = {C.REF_NULL_DN}"
+            for b in ("blue", "green", "red", "nir", "swir1", "swir2",
+                      "cirrus"))
+    therm_null = (f"therm_dn = {C.THERM_NULL_DN}" if has_thermal
+                  else "false")
+    basic_bt = (f" AND bt < {C.EQN1_THERM_THRESH}" if has_thermal else "")
+    snow_bt = (f" AND bt < {C.EQN20_THERM_THRESH}" if has_thermal else "")
+    cirrus_test = (f"(ref_cirrus > {C.CIRRUS_BAND_TEST_THRESH})"
+                   if has_cirrus else "false")
     return f"""
 p1a AS (
   SELECT *, {ref_sel},
     {bt_expr()} AS bt,
-    (blue = {C.REF_NULL_DN} OR green = {C.REF_NULL_DN} OR red = {C.REF_NULL_DN}
-     OR nir = {C.REF_NULL_DN} OR swir1 = {C.REF_NULL_DN}
-     OR swir2 = {C.REF_NULL_DN} OR cirrus = {C.REF_NULL_DN}) AS ref_nullmask,
-    (therm_dn = {C.THERM_NULL_DN}) AS therm_nullmask
+    ({null_bands}) AS ref_nullmask,
+    ({therm_null}) AS therm_nullmask
   FROM features
 ),
 p1b AS (
@@ -299,14 +324,13 @@ p1b AS (
 ),
 p1c AS (
   SELECT *,
-    (ref_swir2 > {C.EQN1_SWIR2_THRESH} AND ndsi < 0.8 AND ndvi < 0.8
-     AND bt < {C.EQN1_THERM_THRESH}) AS basic_test,
+    (ref_swir2 > {C.EQN1_SWIR2_THRESH} AND ndsi < 0.8 AND ndvi < 0.8{basic_bt}) AS basic_test,
     {whiteness} AS whiteness0,
     ((ref_blue - 0.5 * ref_red - 0.08) > 0) AS haze_test,
     ((ref_nir / ref_swir1) > 0.75) AS b45_test,
     (NOT nullmask AND ((ndvi < 0.01 AND ref_nir < 0.11)
       OR (ndvi < 0.1 AND ref_nir < 0.05))) AS water_test,
-    (ref_cirrus > {C.CIRRUS_BAND_TEST_THRESH}) AS cirrus_band_test,
+    {cirrus_test} AS cirrus_band_test,
     ((sat_blue OR sat_green OR sat_red) AND mean_vis > 0.45) AS sat_and_bright
   FROM p1b
 ),
@@ -329,8 +353,7 @@ pass1 AS (
     (NOT nullmask AND NOT pcp AND NOT water_test) AS clear_land,
     {vprob_pcnt} AS variability_prob_pcnt,
     (NOT nullmask AND ndsi > 0.15 AND ref_nir > {C.EQN20_NIR_SNOW_THRESH}
-     AND ref_green > {C.EQN20_GREEN_SNOW_THRESH}
-     AND bt < {C.EQN20_THERM_THRESH}) AS snow,
+     AND ref_green > {C.EQN20_GREEN_SNOW_THRESH}{snow_bt}) AS snow,
     cast(least(floor(least(greatest(bt + {C.BT_OFFSET}, 0), {C.BT_HISTSIZE})),
          {C.BT_HISTSIZE - 1}) as int) AS scaled_bt_bin,
     cast(cast(floor(ref_nir * {C.B4_SCALE}) as bigint) % 256 as int) AS scaled_b4_bin
@@ -360,12 +383,18 @@ def scoreatpcnt_cte(hist_cte: str, pcnt: float, out: str) -> str:
 )""".strip()
 
 
-def thresholds_sql(d: str) -> str:
+def thresholds_sql(d: str, sensor: str = "LANDSAT8") -> str:
     """CTEs: per-cell Twater/Tlow/Thigh (Eqns 8,13; fmask/fmask.py:546-561),
     b4_17 (fmask/fmask.py:315-321), nonNullCount (fmask/fmask.py:285,469).
 
     This is a small per-cell dimension table — in the Spark pipeline it is
-    broadcast-joined back to the pixels (no global collect barrier)."""
+    broadcast-joined back to the pixels (no global collect barrier).
+    SENTINEL2 has no thermal band: the BT thresholds degrade to NULL
+    (the reference's None path, fmask/fmask.py:645-666)."""
+    if sensor == "SENTINEL2":
+        thermal_guard, thermal_guard_end = "cast(null as bigint) + 0 * (", ")"
+    else:
+        thermal_guard, thermal_guard_end = "", ""
     return f"""
 wbt_hist AS (
   SELECT cell_id, scaled_bt_bin AS bin, count(*) AS cnt FROM pass1
@@ -385,9 +414,9 @@ lb4_hist AS (
 {scoreatpcnt_cte('lb4_hist', 17.5, 'b4_17_t')},
 thresholds AS (
   SELECT cells.cell_id,
-    tw.v - {C.BT_OFFSET} AS twater,
-    tl.v - {C.BT_OFFSET} AS tlow,
-    th.v - {C.BT_OFFSET} AS thigh,
+    {thermal_guard}tw.v - {C.BT_OFFSET}{thermal_guard_end} AS twater,
+    {thermal_guard}tl.v - {C.BT_OFFSET}{thermal_guard_end} AS tlow,
+    {thermal_guard}th.v - {C.BT_OFFSET}{thermal_guard_end} AS thigh,
     coalesce(cast(b4.v as double) / {C.B4_SCALE}, 0.01) AS b4_17,
     cells.non_null_count
   FROM (
@@ -406,13 +435,16 @@ thresholds AS (
 # ---------------------------------------------------------------------------
 
 
-def pass2_sql(d: str) -> str:
+def pass2_sql(d: str, sensor: str = "LANDSAT8") -> str:
     """wCloud/lCloud probability (Eqns 9-11,14,16 + Zhu15 Eqns 1-2;
     fmask/fmask.py:616-680) with the reference's 8-bit quantization
     (clip then uint8-truncate, fmask/fmask.py:673-676), and the per-cell
     land threshold (Eqn 17 + 3% fallback, fmask/fmask.py:601-613)."""
     quant = "cast(floor(least(greatest({p} * %s, %s), %s)) as int)" % (
         C.PROB_SCALE, C.BYTE_MIN, C.BYTE_MAX)
+    has_cirrus = sensor in ("LANDSAT8", "SENTINEL2")
+    cirrus_term = (f"+ p.ref_cirrus / {C.CIRRUS_PROB_RATIO}" if has_cirrus
+                   else "+ 0.0")
     return f"""
 pass2 AS (
   SELECT p.*,
@@ -422,12 +454,12 @@ pass2 AS (
     SELECT p.*,
       (coalesce((t.twater - p.bt) / 4.0, 1.0)
         * (least(p.ref_swir1, 0.11) / 0.11)
-        + p.ref_cirrus / {C.CIRRUS_PROB_RATIO}) AS w_cloud_prob,
+        {cirrus_term}) AS w_cloud_prob,
       ((case when t.thigh IS NOT NULL AND t.tlow IS NOT NULL
          then (t.thigh + 4 - p.bt) / ((t.thigh + 4) - (t.tlow - 4))
          else 1.0 end)
         * (cast(p.variability_prob_pcnt as double) / {C.PROB_SCALE})
-        + p.ref_cirrus / {C.CIRRUS_PROB_RATIO}) AS l_cloud_prob,
+        {cirrus_term}) AS l_cloud_prob,
       t.tlow AS g_tlow, t.thigh AS g_thigh, t.twater AS g_twater,
       t.b4_17 AS g_b4_17, t.non_null_count AS g_non_null_count
     FROM pass1 p JOIN thresholds t ON t.cell_id = p.cell_id
@@ -459,7 +491,10 @@ landthr AS (
 # ---------------------------------------------------------------------------
 
 
-def pass3_sql(d: str) -> str:
+def pass3_sql(d: str, sensor: str = "LANDSAT8") -> str:
+    cm3 = ("false" if sensor == "SENTINEL2" else
+           f"((cast(p.lprob_pcnt as double) / {C.PROB_SCALE}) > 0.99"
+           f" AND (NOT p.water_test AND NOT p.nullmask))")
     return f"""
 pass3 AS (
   SELECT p.*,
@@ -467,8 +502,7 @@ pass3 AS (
       (p.pcp AND p.water_test AND (cast(p.wprob_pcnt as double) / {C.PROB_SCALE}) > 0.5)
       OR (p.pcp AND (NOT p.water_test AND NOT p.nullmask)
           AND (cast(p.lprob_pcnt as double) / {C.PROB_SCALE}) > lt.land_threshold)
-      OR ((cast(p.lprob_pcnt as double) / {C.PROB_SCALE}) > 0.99
-          AND (NOT p.water_test AND NOT p.nullmask))
+      OR {cm3}
       OR (p.g_tlow IS NOT NULL AND p.bt < (p.g_tlow - 35))
     )) AS cloud_raw
   FROM pass2 p JOIN landthr lt ON lt.cell_id = p.cell_id

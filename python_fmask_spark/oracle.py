@@ -15,14 +15,15 @@ from . import derive
 from .dialect import DUCKDB, SPARK
 
 
-def _ctes(d: str, upto: str, table: str = "documents") -> str:
+def _ctes(d: str, upto: str, table: str = "documents",
+          sensor: str = "LANDSAT8") -> str:
     parts = [derive.features_sql(d, derive.documents_wide_sql(d, table))]
     order = ["pass1", "thresholds", "pass2", "pass3", "majority"]
     builders = {
-        "pass1": derive.pass1_sql,
-        "thresholds": derive.thresholds_sql,
-        "pass2": derive.pass2_sql,
-        "pass3": derive.pass3_sql,
+        "pass1": lambda d: derive.pass1_sql(d, sensor=sensor),
+        "thresholds": lambda d: derive.thresholds_sql(d, sensor=sensor),
+        "pass2": lambda d: derive.pass2_sql(d, sensor=sensor),
+        "pass3": lambda d: derive.pass3_sql(d, sensor=sensor),
         "majority": lambda d: derive.majority3_sql(d, "pass3", "cloud_raw", "cloudbuf"),
     }
     for stage in order:
@@ -128,3 +129,36 @@ SELECT url, cell_id, r, c,
   end as int) AS fmask_class,
   {sha} AS text_sha256
 FROM clouddil"""
+
+
+def q_pass1_cell_counts_l47(d: str) -> str:
+    """Sensor dispatch: Landsat 4-7 (no cirrus band; 6 null bands;
+    fmask/config.py:33-40, fmask/fmask.py:290-292)."""
+    ctes = _ctes(d, "pass1", sensor="LANDSAT47")
+    return f"""{ctes}
+SELECT cell_id, count(*) AS n_docs,
+  sum(case when pcp then 1 else 0 end) AS n_pcp,
+  sum(case when water_test then 1 else 0 end) AS n_water,
+  sum(case when clear_land then 1 else 0 end) AS n_clear_land,
+  sum(case when snow then 1 else 0 end) AS n_snow,
+  sum(case when nullmask then 1 else 0 end) AS n_null
+FROM pass1 GROUP BY cell_id"""
+
+
+def q_fmask_interim_class_s2(d: str) -> str:
+    """Sensor dispatch: Sentinel-2 (no thermal -> BT thresholds NULL and
+    temperature probs degrade to 1, fmask/fmask.py:645-666; cloudmask3
+    disabled, fmask/fmask.py:747-748; visible-only null bands,
+    fmask/fmask.py:298-302)."""
+    from . import constants as C
+    ctes = _ctes(d, "majority", sensor="SENTINEL2")
+    return f"""{ctes}
+SELECT url, cell_id, r, c,
+  cast(case
+    when nullmask then {C.OUTCODE_NULL}
+    when cloudbuf_flag and not nullmask then {C.OUTCODE_CLOUD}
+    when snow then {C.OUTCODE_SNOW}
+    when water_test then {C.OUTCODE_WATER}
+    else {C.OUTCODE_CLEAR}
+  end as int) AS fmask_class
+FROM cloudbuf"""
