@@ -98,7 +98,25 @@ def _fmask_final_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     out = pipeline.classify(spark)
     return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
-                          "cloud_id", "text_sha256")
+                          "cloud_id", "cloud_height_du", "text_sha256")
+
+
+def _cloud_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cloud object table (Eqns 22-24 aggregates: clump size, base
+    temperature, relative top height; fmask/fmask.py:896-951). The
+    groupBy(cloud_id) is the reference's ValueIndexes inverted-index
+    pattern (J4/A8/A9) as a hash aggregation."""
+    register_views(spark, sf_dir)
+    out = pipeline.classify(spark)
+    return (out.filter("cloud_id > 0")
+            .groupBy("cell_id", "cloud_id")
+            .agg(*[__import__("pyspark.sql.functions", fromlist=["expr"])
+                   .expr(e) for e in (
+                "count(*) AS n_pixels",
+                "cast(round(max(cloud_base_temp_c) * 1000) as bigint)"
+                " AS base_temp_milli_c",
+                "max(cloud_height_du) AS max_height_du",
+                "min(r) AS min_r", "min(c) AS min_c")]))
 
 
 def _potential_shadow_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class"] = _fmask_final_class
     out["multimodal_features"] = _multimodal_features
     out["potential_shadow_dist"] = _potential_shadow_dist
+    out["cloud_objects"] = _cloud_objects
     return out
 
 

@@ -89,6 +89,9 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
 
     # --- 3-D clouds (fmask/fmask.py:896-951)
     cloud_shape, base_temp = kernels.cloud_shape_and_base_temp(clumps, bt)
+    base_temp_img = np.full((H, W), np.nan)
+    for cid, tb in base_temp.items():
+        base_temp_img[clumps == cid] = tb
 
     # --- shadow shapes + matching (fmask/fmask.py:959-1060,1100-1185)
     shapes = kernels.make_shadow_shapes(clumps, cloud_shape, angles,
@@ -123,9 +126,13 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
         "c": cc.astype(np.int32),
         "fmask_class": out[rr, cc].astype(np.int32),
         "cloud_id": clumps[rr, cc].astype(np.int64),
+        "cloud_height_du": cloud_shape[rr, cc].astype(np.int32),
+        "cloud_base_temp_c": base_temp_img[rr, cc],
         "text_sha256": pdf["text_sha256"].to_numpy(),
     })
 
 
 SCENE_OUT_SCHEMA = ("url string, cell_id string, r int, c int, "
-                    "fmask_class int, cloud_id bigint, text_sha256 string")
+                    "fmask_class int, cloud_id bigint, "
+                    "cloud_height_du int, cloud_base_temp_c double, "
+                    "text_sha256 string")
