@@ -69,6 +69,8 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "rel_region_nation": relational.q_region_nation_join,
     "rel_events_window": relational.q_events_window,
     "rel_antijoin": relational.q_supplier_part_antijoin,
+    "rel_rollup": relational.q_lineitem_rollup,
+    "rel_sessions": relational.q_events_session_windows,
 }
 
 

@@ -75,3 +75,40 @@ WHERE NOT EXISTS (
   SELECT 1 FROM supplier s
   WHERE s.s_nationkey < 5 AND s.s_suppkey % 200 = p.p_partkey % 200
 )"""
+
+
+def q_lineitem_rollup(d: str) -> str:
+    """Grouping-sets/rollup surface (SURVEY §2.3 note: the reference has
+    none; Spark/DuckDB provide it free over the metrics tables)."""
+    return f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  cast(sum(l_quantity) as bigint) AS sum_qty,
+  count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+
+def q_events_session_windows(d: str) -> str:
+    """Sessionization-lite: 30-minute gap splits per user (lag + running
+    session id), then per-session aggregates — the streaming-state
+    pattern expressed in batch SQL."""
+    return f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+    case when lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+         or ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            > INTERVAL '30' MINUTE
+         then 1 else 0 end AS new_session
+  FROM events
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  cast(round(sum(value) * 1000) as bigint) AS sum_value_milli,
+  min(event_id) AS first_event
+FROM sess GROUP BY user_id, session_id"""
