@@ -144,9 +144,16 @@ def _potential_shadow_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side runs the Arrow-batched mapInPandas extractor; the
+    DuckDB oracle (multimodal.q_features_oracle) renders the stub decode
+    as pure SQL — the driver compare proves UDF == SQL bit-for-bit.
+    The raw array<float> column stays internal (the driver's pandas
+    canonicalizer cannot hash lists); feat_milli is its exact integer
+    serialization."""
     from python_fmask_spark.sources import load_documents_wide
     docs = load_documents_wide(spark, sf_dir)
-    return multimodal.extract_features(docs)
+    return multimodal.extract_features(docs).select(
+        "url", "modality", "n_bytes", "feat_milli")
 
 
 def _make_sql_query(builder: Callable[[str], str]):
@@ -175,8 +182,8 @@ def _pass2_probs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(pipeline.tail_sql_from_pass1(
         view, "pass2",
         """SELECT p.cell_id,
-             sum(p.wprob_pcnt) AS sum_wprob,
-             sum(p.lprob_pcnt) AS sum_lprob,
+             cast(sum(p.wprob_pcnt) as bigint) AS sum_wprob,
+             cast(sum(p.lprob_pcnt) as bigint) AS sum_lprob,
              cast(round(max(lt.land_threshold) * 1000) as int)
                AS land_threshold_milli,
              count(*) AS n_docs
@@ -211,4 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: builder(DUCKDB) for name, builder in _SQL_QUERIES.items()}
+    out = {name: builder(DUCKDB) for name, builder in _SQL_QUERIES.items()}
+    # kernel/UDF-path queries whose oracle is an independent SQL rendering
+    out["multimodal_features"] = multimodal.q_features_oracle(DUCKDB)
+    return out

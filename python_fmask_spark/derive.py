@@ -420,7 +420,7 @@ thresholds AS (
     coalesce(cast(b4.v as double) / {C.B4_SCALE}, 0.01) AS b4_17,
     cells.non_null_count
   FROM (
-    SELECT cell_id, sum(case when nullmask then 0 else 1 end) AS non_null_count
+    SELECT cell_id, cast(sum(case when nullmask then 0 else 1 end) as bigint) AS non_null_count
     FROM pass1 GROUP BY cell_id) cells
   LEFT JOIN twater_t tw ON tw.cell_id = cells.cell_id
   LEFT JOIN tlow_t tl ON tl.cell_id = cells.cell_id

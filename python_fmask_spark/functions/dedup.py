@@ -106,7 +106,7 @@ def q_minhash_signatures(d: str) -> str:
     ctes = _minhash_cte_spark() if d == SPARK else _minhash_cte(d)
     return f"""
 WITH {ctes}
-SELECT url, sum(mh) AS sig_sum, count(*) AS n_hashes
+SELECT url, cast(sum(mh) as bigint) AS sig_sum, count(*) AS n_hashes
 FROM minhash GROUP BY url"""
 
 

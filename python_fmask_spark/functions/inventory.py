@@ -39,7 +39,7 @@ def q_value_index(d: str) -> str:
 WITH {_feats(d)}
 SELECT cell_id, latent AS value,
   count(*) AS n_pixels,
-  sum(cast(r as bigint) * 131071 + c) AS coord_checksum,
+  cast(sum(cast(r as bigint) * 131071 + c) as bigint) AS coord_checksum,
   min(cast(r as bigint) * {8} + c) AS first_pixel_linear
 FROM features GROUP BY cell_id, latent"""
 

@@ -19,8 +19,8 @@ def q_lineitem_agg(d: str) -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
   cast(sum(l_quantity) as bigint) AS sum_qty,
-  sum({_cents('l_extendedprice')}) AS sum_base_price_cents,
-  sum({_cents('l_extendedprice * (1 - l_discount)')}) AS sum_disc_price_cents,
+  cast(sum({_cents('l_extendedprice')}) as bigint) AS sum_base_price_cents,
+  cast(sum({_cents('l_extendedprice * (1 - l_discount)')}) as bigint) AS sum_disc_price_cents,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -30,14 +30,17 @@ GROUP BY l_returnflag, l_linestatus"""
 def q_orders_topk(d: str) -> str:
     """TPC-H Q3-style: 3-way join + grouped revenue + top-10
     (broadcast-able dims, shuffle only on the fact)."""
+    date_s = ("date_format(o.o_orderdate, 'yyyy-MM-dd')" if d == "spark"
+              else "strftime(o.o_orderdate, '%Y-%m-%d')")
     return f"""
-SELECT o.o_orderkey, o.o_orderdate,
-  sum({_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS revenue_cents
+SELECT o.o_orderkey, {date_s} AS o_orderdate_s,
+  cast(sum({_cents('l.l_extendedprice * (1 - l.l_discount)')}) as bigint)
+    AS revenue_cents
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY o.o_orderkey, o.o_orderdate
+GROUP BY o.o_orderkey, {date_s}
 ORDER BY revenue_cents DESC, o.o_orderkey
 LIMIT 10"""
 
@@ -104,8 +107,8 @@ WITH gaps AS (
   FROM events
 ),
 sess AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  SELECT *, cast(sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) as bigint) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, count(*) AS n_events,

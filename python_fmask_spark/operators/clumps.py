@@ -72,22 +72,29 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
     labeled = labeled.persist()
 
     # Seam edges: 8-adjacent pixel pairs across tile boundaries.
+    # local_label values are cell-local linear pixel indexes, so distinct
+    # cells routinely share label values — every key below carries
+    # cell_id (union-find, mapping, and the apply join) to keep seam
+    # merges from leaking across cells.
     top = labeled.filter(F.expr(f"pmod(r, {tile_rows}) = 0")) \
-        .select("cell_id", "r", "c", F.col("local_label").alias("lab_b"))
+        .select(F.col("cell_id").alias("cell_b"), "r", "c",
+                F.col("local_label").alias("lab_b"))
     bottom = labeled.filter(F.expr(f"pmod(r, {tile_rows}) = {tile_rows - 1}")) \
-        .select("cell_id", F.col("r").alias("r_a"), F.col("c").alias("c_a"),
+        .select(F.col("cell_id").alias("cell_a"),
+                F.col("r").alias("r_a"), F.col("c").alias("c_a"),
                 F.col("local_label").alias("lab_a"))
     edges = (bottom.join(
         top,
-        (bottom.cell_id == top.cell_id) & (top.r == bottom.r_a + 1)
+        (bottom.cell_a == top.cell_b) & (top.r == bottom.r_a + 1)
         & (F.abs(top.c - bottom.c_a) <= 1))
-        .select("lab_a", "lab_b").distinct())
+        .select("cell_a", "lab_a", "lab_b").distinct())
 
     edge_rows = edges.collect()  # O(perimeter), see module docstring
 
-    parent: dict[int, int] = {}
+    Key = tuple  # (cell_id, local_label)
+    parent: dict[tuple, tuple] = {}
 
-    def find(x: int) -> int:
+    def find(x: tuple) -> tuple:
         parent.setdefault(x, x)
         root = x
         while parent[root] != root:
@@ -97,18 +104,23 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
         return root
 
     for e in edge_rows:
-        a, b = find(int(e.lab_a)), find(int(e.lab_b))
+        ka = Key((e.cell_a, int(e.lab_a)))
+        kb = Key((e.cell_a, int(e.lab_b)))
+        a, b = find(ka), find(kb)
         if a != b:
-            if a < b:
+            # same cell by construction; order by label value
+            if a[1] < b[1]:
                 parent[b] = a
             else:
                 parent[a] = b
 
-    mapping = [(x, find(x)) for x in list(parent)]
+    mapping = [(k[0], k[1], find(k)[1]) for k in list(parent)]
     spark = df.sparkSession
     if mapping:
-        map_df = spark.createDataFrame(mapping, "local_label bigint, root bigint")
-        out = (labeled.join(F.broadcast(map_df), "local_label", "left")
+        map_df = spark.createDataFrame(
+            mapping, "cell_id string, local_label bigint, root bigint")
+        out = (labeled.join(F.broadcast(map_df),
+                            ["cell_id", "local_label"], "left")
                .withColumn("clump_id", F.coalesce("root", "local_label"))
                .select("url", "cell_id", "r", "c", "clump_id"))
     else:

@@ -59,13 +59,13 @@ def q_pass1_cell_counts(d: str) -> str:
     ctes = _ctes(d, "pass1")
     return f"""{ctes}
 SELECT cell_id, count(*) AS n_docs,
-  sum(case when pcp then 1 else 0 end) AS n_pcp,
-  sum(case when water_test then 1 else 0 end) AS n_water,
-  sum(case when clear_land then 1 else 0 end) AS n_clear_land,
-  sum(case when snow then 1 else 0 end) AS n_snow,
-  sum(case when nullmask then 1 else 0 end) AS n_null,
-  sum(case when clear_sky_water then 1 else 0 end) AS n_clear_sky_water,
-  sum(variability_prob_pcnt) AS sum_vprob
+  cast(sum(case when pcp then 1 else 0 end) as bigint) AS n_pcp,
+  cast(sum(case when water_test then 1 else 0 end) as bigint) AS n_water,
+  cast(sum(case when clear_land then 1 else 0 end) as bigint) AS n_clear_land,
+  cast(sum(case when snow then 1 else 0 end) as bigint) AS n_snow,
+  cast(sum(case when nullmask then 1 else 0 end) as bigint) AS n_null,
+  cast(sum(case when clear_sky_water then 1 else 0 end) as bigint) AS n_clear_sky_water,
+  cast(sum(variability_prob_pcnt) as bigint) AS sum_vprob
 FROM pass1 GROUP BY cell_id"""
 
 
@@ -86,8 +86,8 @@ def q_pass2_probs(d: str) -> str:
     ctes = _ctes(d, "pass2")
     return f"""{ctes}
 SELECT p.cell_id,
-  sum(p.wprob_pcnt) AS sum_wprob,
-  sum(p.lprob_pcnt) AS sum_lprob,
+  cast(sum(p.wprob_pcnt) as bigint) AS sum_wprob,
+  cast(sum(p.lprob_pcnt) as bigint) AS sum_lprob,
   cast(round(max(lt.land_threshold) * 1000) as int) AS land_threshold_milli,
   count(*) AS n_docs
 FROM pass2 p JOIN landthr lt ON lt.cell_id = p.cell_id
@@ -137,11 +137,11 @@ def q_pass1_cell_counts_l47(d: str) -> str:
     ctes = _ctes(d, "pass1", sensor="LANDSAT47")
     return f"""{ctes}
 SELECT cell_id, count(*) AS n_docs,
-  sum(case when pcp then 1 else 0 end) AS n_pcp,
-  sum(case when water_test then 1 else 0 end) AS n_water,
-  sum(case when clear_land then 1 else 0 end) AS n_clear_land,
-  sum(case when snow then 1 else 0 end) AS n_snow,
-  sum(case when nullmask then 1 else 0 end) AS n_null
+  cast(sum(case when pcp then 1 else 0 end) as bigint) AS n_pcp,
+  cast(sum(case when water_test then 1 else 0 end) as bigint) AS n_water,
+  cast(sum(case when clear_land then 1 else 0 end) as bigint) AS n_clear_land,
+  cast(sum(case when snow then 1 else 0 end) as bigint) AS n_snow,
+  cast(sum(case when nullmask then 1 else 0 end) as bigint) AS n_null
 FROM pass1 GROUP BY cell_id"""
 
 

@@ -77,6 +77,37 @@ def test_distributed_ccl_equals_whole(spark, tile_rows):
                 assert got[(r, c)] == canon[whole[r, c]], (tile_rows, r, c)
 
 
+def test_distributed_ccl_multi_cell_no_label_leak(spark):
+    """Regression: local_label values are cell-local, so a seam merge in
+    cell A must not remap the same label value in cell B. Cell A has a
+    vertical bar crossing the tile seam (its seam merge maps the lower
+    tile's label to the upper tile's); cell B has an isolated pixel at
+    the lower tile's first bar coordinate — i.e. the SAME label value
+    that cell A's union-find remaps."""
+    tile_rows = 8
+    rows = []
+    # cell A: bar at c=3 spanning r=6..9 (crosses the r=7|8 seam).
+    for r in range(6, 10):
+        rows.append((f"a{r:03d}", "cellA", r, 3, True))
+    # cell B: single pixel at (8, 3) -> local_label = 8*W+3, exactly the
+    # value cell A's seam union-find maps to 6*W+3.
+    rows.append(("b000", "cellB", 8, 3, True))
+    # second cell-B pixel far away so the cell has >1 clump
+    rows.append(("b001", "cellB", 0, 0, True))
+    pdf = pd.DataFrame(rows, columns=["url", "cell_id", "r", "c", "flag"])
+    df = spark.createDataFrame(pdf)
+    out = clumps.label_clumps_distributed(df, "flag", tile_rows=tile_rows) \
+        .collect()
+    got = {(row.cell_id, row.r, row.c): row.clump_id for row in out}
+    # cell A: one clump canonical at min linear index 6*W+3
+    for r in range(6, 10):
+        assert got[("cellA", r, 3)] == 6 * W + 3
+    # cell B: the isolated pixel keeps its own label (NOT remapped to
+    # cell A's root 6*W+3)
+    assert got[("cellB", 8, 3)] == 8 * W + 3
+    assert got[("cellB", 0, 0)] == 0
+
+
 def test_with_halo_counts(spark):
     df, _ = _mask_df(spark)
     haloed = tiling.with_halo(df, radius=2, tile_rows=16)
