@@ -217,8 +217,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+_FIXTURES = "/root/repo/tests/fixtures"
+
+
 def oracle_sql() -> dict[str, str]:
     out = {name: builder(DUCKDB) for name, builder in _SQL_QUERIES.items()}
     # kernel/UDF-path queries whose oracle is an independent SQL rendering
     out["multimodal_features"] = multimodal.q_features_oracle(DUCKDB)
+    # Shadow-chain oracles: frozen parquet fixtures computed by an
+    # independent replay (DuckDB-dialect pass-1..3 SQL + whole-scene
+    # NumPy kernels; scripts/make_shadow_fixture.py). The Spark side
+    # runs the DISTRIBUTED pipeline, so the compare proves
+    # distributed == whole-scene at sf0.01 (valid at that sf only).
+    out["fmask_final_class"] = f"""
+SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
+       text_sha256
+FROM read_parquet('{_FIXTURES}/shadow_oracle_final.parquet')"""
+    out["cloud_objects"] = f"""
+SELECT cell_id, cloud_id, count(*) AS n_pixels,
+  cast(round(max(cloud_base_temp_c) * 1000) as bigint) AS base_temp_milli_c,
+  max(cloud_height_du) AS max_height_du,
+  min(r) AS min_r, min(c) AS min_c
+FROM read_parquet('{_FIXTURES}/shadow_oracle_final.parquet')
+WHERE cloud_id > 0
+GROUP BY cell_id, cloud_id"""
+    out["potential_shadow_dist"] = f"""
+SELECT url, cell_id, r, c, nir, filled, potential_shadow
+FROM read_parquet('{_FIXTURES}/shadow_oracle_fill.parquet')"""
     return out

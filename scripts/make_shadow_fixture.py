@@ -1,0 +1,96 @@
+"""Generate the shadow-chain oracle fixtures at sf0.01.
+
+The shadow stages (fill-minima, clumps, 3-D clouds, shadow match;
+fmask/fmask.py:781-1308) are not SQL-expressible, so their driver oracle
+is a frozen parquet fixture computed by an independent replay:
+
+  DuckDB runs the DUCKDB-dialect pass-1..3 SQL (no Spark involved)
+    -> per-cell whole-scene NumPy kernel replay (kernels.py, the same
+       functions the pytest bit-exactness suite validates)
+    -> parquet fixtures under tests/fixtures/
+
+oracle_sql() then reads the fixtures via read_parquet, upgrading
+fmask_final_class / cloud_objects / potential_shadow_dist from
+rows-only to full hash-checked driver queries. The Spark side runs the
+DISTRIBUTED pipeline (applyInPandas scene kernel / tiled fill fixpoint),
+so the compare proves distributed == whole-scene.
+
+Usage: python scripts/make_shadow_fixture.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from python_fmask_spark import constants as C  # noqa: E402
+from python_fmask_spark import oracle  # noqa: E402
+from python_fmask_spark.dialect import DUCKDB  # noqa: E402
+from python_fmask_spark.operators import kernels  # noqa: E402
+from python_fmask_spark.operators.scene import FmaskParams, classify_scene  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tests/fixtures"
+
+KERNEL_COLS = ("url, cell_id, r, c, sha256(text) AS text_sha256, nir, bt, "
+               "nullmask, water_test, snow, cloud_raw, "
+               "g_tlow, g_thigh, g_b4_17, sun_az, sun_zen, sat_az, sat_zen")
+
+
+def pass3_duckdb(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    ctes = oracle._ctes(DUCKDB, "pass3")
+    return con.execute(f"{ctes} SELECT {KERNEL_COLS} FROM pass3").df()
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    p3 = pass3_duckdb(con)
+    params = FmaskParams()
+
+    final_parts, shadow_parts = [], []
+    for cell_id, pdf in p3.groupby("cell_id", sort=True):
+        pdf = pdf.reset_index(drop=True)
+        final_parts.append(classify_scene(pdf, params))
+
+        # potential-shadow replay: whole-scene fill-minima over NIR
+        # (matches __spark_entry__._potential_shadow_dist semantics:
+        # nullval=0, boundary b4_17*TOA_SCALE, Eqn-19 threshold).
+        H = int(pdf["r"].max()) + 1
+        W = C.SCENE_WIDTH
+        nir = np.zeros((H, W), dtype=np.int64)
+        nir[pdf["r"].to_numpy(), pdf["c"].to_numpy()] = \
+            pdf["nir"].to_numpy().astype(np.int64)
+        nir17_dn = float(pdf.iloc[0]["g_b4_17"]) * C.TOA_SCALE
+        filled = kernels.fill_minima(nir, 0, nir17_dn)
+        rr, cc = pdf["r"].to_numpy(), pdf["c"].to_numpy()
+        shadow_parts.append(pd.DataFrame({
+            "url": pdf["url"].to_numpy(),
+            "cell_id": pdf["cell_id"].to_numpy(),
+            "r": rr.astype(np.int32),
+            "c": cc.astype(np.int32),
+            "nir": nir[rr, cc],
+            "filled": filled[rr, cc].astype(np.int64),
+            "potential_shadow": (
+                ((filled[rr, cc] - nir[rr, cc]) / C.TOA_SCALE)
+                > C.EQN19_NIR_FILL_THRESH).astype(np.int32),
+        }))
+
+    final = pd.concat(final_parts, ignore_index=True)
+    shadow = pd.concat(shadow_parts, ignore_index=True)
+    final.to_parquet(f"{OUT_DIR}/shadow_oracle_final.parquet", index=False)
+    shadow.to_parquet(f"{OUT_DIR}/shadow_oracle_fill.parquet", index=False)
+    print(f"wrote {len(final)} final rows, {len(shadow)} fill rows "
+          f"to {OUT_DIR} (from {SF_DIR})")
+
+
+if __name__ == "__main__":
+    main()
