@@ -40,6 +40,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_minhash_signatures": dedup.q_minhash_signatures,
     "dedup_minhash_pairs": dedup.q_minhash_pairs,
     "dedup_simhash": dedup.q_simhash,
+    "dedup_simhash_pairs": dedup.q_simhash_pairs,
     "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,

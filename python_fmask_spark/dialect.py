@@ -102,6 +102,12 @@ def sha256_hex(expr: str, d: str) -> str:
     return f"sha2({expr}, 256)" if d == SPARK else f"sha256({expr})"
 
 
+def xor_int(a: str, b: str, d: str) -> str:
+    """Bitwise XOR (Spark ``^`` is XOR; DuckDB ``^`` is exponent)."""
+    _check(d)
+    return f"({a} ^ {b})" if d == SPARK else f"xor({a}, {b})"
+
+
 def octet_len(expr: str, d: str) -> str:
     """Byte length of a binary value."""
     _check(d)

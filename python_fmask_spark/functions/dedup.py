@@ -110,61 +110,118 @@ SELECT url, cast(sum(mh) as bigint) AS sig_sum, count(*) AS n_hashes
 FROM minhash GROUP BY url"""
 
 
-def q_simhash(d: str) -> str:
-    """16-bit SimHash: per-bit majority of word-hash bits
-    (explode words x bits; fingerprint = sum of set bits' weights)."""
-    gen = explode_series("0", "greatest(size_w - 1, 0)", "wi", d)
-    split_len = ("size(split(text, ' '))" if d == SPARK
-                 else "len(string_split(text, ' '))")
-    word = ("split(text, ' ')[wi]" if d == SPARK
-            else "string_split(text, ' ')[wi + 1]")
-    wh = md5_slice_int("word", 1, 8, d)
-    bit_gen = explode_series("0", "15", "bit", d)
-    shift = "cast(floor(wh / power(2, bit)) as bigint) % 2"
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16 bits per band; Hamming<=3 -> >=1 band identical
+
+
+def _simhash_bands_cte(d: str) -> str:
+    """CTE chain to per-doc 64-bit SimHash as 4 x 16-bit band values.
+
+    Per-bit majority over the word multiset's 64-bit md5-derived hashes
+    (two 32-bit halves). The band decomposition is the scale structure:
+    by pigeonhole, any pair with Hamming distance <= SIMHASH_BANDS - 1
+    shares at least one identical band, so the pair search is an exact
+    equi-join on (band, value) — no quadratic scan, no recall loss."""
+    word_gen = ("explode(split(text, ' ')) AS word" if d == SPARK
+                else "unnest(string_split(text, ' ')) AS word")
+    wh1 = md5_slice_int("word", 1, 8, d)
+    wh2 = md5_slice_int("word", 9, 8, d)
+    bit_gen = explode_series("0", str(SIMHASH_BITS - 1), "bit", d)
+    shift = ("(case when bit < 32 "
+             "then cast(floor(wh1 / power(2, bit)) as bigint) % 2 "
+             "else cast(floor(wh2 / power(2, bit - 32)) as bigint) % 2 end)")
     return f"""
-WITH docs AS ({documents_wide_sql(d, 'documents')}),
-words0 AS (
-  SELECT url, text, {split_len} AS size_w FROM docs
-),
+docs AS ({documents_wide_sql(d, 'documents')}),
 words AS (
-  SELECT url, {gen} FROM words0
+  SELECT url, {word_gen} FROM docs
 ),
 whash AS (
-  SELECT w.url, {wh} AS wh
-  FROM (SELECT url, {word} AS word FROM (
-          SELECT w0.url, w0.text, w.wi FROM words0 w0
-          JOIN words w ON w.url = w0.url) t) w
+  SELECT url, {wh1} AS wh1, {wh2} AS wh2 FROM words
 ),
 bits AS (
-  SELECT url, wh, {bit_gen} FROM whash
+  SELECT url, wh1, wh2, {bit_gen} FROM whash
 ),
 bitsum AS (
   SELECT url, bit,
     sum(case when {shift} = 1 then 1 else -1 end) AS s
   FROM bits GROUP BY url, bit
 ),
-simhash AS (
+sh_bands AS (
+  SELECT url, {idiv('bit', '16', d)} AS band,
+    cast(sum(case when s > 0 then power(2, bit % 16) else 0 end) as int)
+      AS val
+  FROM bitsum GROUP BY url, {idiv('bit', '16', d)}
+),
+fp AS (
   SELECT url,
-    cast(sum(case when s > 0 then power(2, bit) else 0 end) as bigint)
-      AS fingerprint
-  FROM bitsum GROUP BY url
+    cast(max(case when band = 0 then val end) as int) AS fp0,
+    cast(max(case when band = 1 then val end) as int) AS fp1,
+    cast(max(case when band = 2 then val end) as int) AS fp2,
+    cast(max(case when band = 3 then val end) as int) AS fp3
+  FROM sh_bands GROUP BY url
+)""".strip()
+
+
+def q_simhash(d: str) -> str:
+    """64-bit SimHash fingerprints, exposed as 4 x 16-bit band values
+    (the banded form the pair search joins on)."""
+    return f"""
+WITH {_simhash_bands_cte(d)}
+SELECT url, fp0, fp1, fp2, fp3 FROM fp"""
+
+
+def q_simhash_pairs(d: str, max_hamming: int = 3) -> str:
+    """Near-duplicate pairs with SimHash Hamming distance <= 3.
+
+    Candidates: equi-join on (band, band value) — complete by pigeonhole
+    for Hamming <= SIMHASH_BANDS - 1. Verification: exact Hamming via
+    XOR + popcount over the four bands. The plan is linear in docs +
+    candidates at any scale."""
+    from ..dialect import xor_int
+    ham = " + ".join(
+        f"bit_count({xor_int(f'a.fp{i}', f'b.fp{i}', d)})" for i in range(4))
+    return f"""
+WITH {_simhash_bands_cte(d)},
+cand AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM sh_bands a JOIN sh_bands b
+    ON a.band = b.band AND a.val = b.val AND a.url < b.url
 )
-SELECT url, fingerprint FROM simhash"""
+SELECT c.url_a, c.url_b, cast({ham} as int) AS hamming
+FROM cand c
+JOIN fp a ON a.url = c.url_a
+JOIN fp b ON b.url = c.url_b
+WHERE {ham} <= {max_hamming}"""
 
 
 def q_ngram_jaccard_pairs(d: str, threshold: float = 0.6) -> str:
-    """Exact n-gram Jaccard near-dup pairs (shingle-set intersection join).
-    At scale the join runs over LSH candidates only; at oracle scale the
-    full shingle join is exact and cheap."""
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs — the
+    standard candidate-generation + verification pipeline.
+
+    Scale plan: NO shingle self-join (a shingle shared by k docs would
+    produce k^2 rows; hot 5-grams make that quadratic). Candidates come
+    from the banded minhash equi-join (linear in docs + candidates);
+    the exact intersection is then computed per candidate pair only, by
+    joining each side's shingle set through the candidate list. Recall
+    is the LSH band recall (1 for exact dups, whose signatures are
+    identical in every band); precision is exact (verified Jaccard)."""
+    ctes = _minhash_cte_spark() if d == SPARK else _minhash_cte(d)
     return f"""
-WITH {_shingles_cte(d)},
+WITH {ctes},
+cand_pairs AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.url < b.url
+),
 sizes AS (
   SELECT url, count(*) AS n FROM shingles GROUP BY url
 ),
 inter AS (
-  SELECT a.url AS url_a, b.url AS url_b, count(*) AS i
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.url < b.url
-  GROUP BY a.url, b.url
+  SELECT cp.url_a, cp.url_b, count(*) AS i
+  FROM cand_pairs cp
+  JOIN shingles a ON a.url = cp.url_a
+  JOIN shingles b ON b.url = cp.url_b AND b.sh = a.sh
+  GROUP BY cp.url_a, cp.url_b
 )
 SELECT i.url_a, i.url_b,
   cast(round(1000.0 * i / (sa.n + sb.n - i)) as int) AS jaccard_milli

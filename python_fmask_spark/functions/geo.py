@@ -74,18 +74,34 @@ poly_edges AS (
 
 def q_point_in_polygon(d: str) -> str:
     """PIP join: documents (points) x polygon edges -> ray-cast crossing
-    parity. Output: per-polygon contained-point counts."""
+    parity. Output: per-polygon contained-point counts.
+
+    Bbox prune: (doc, poly) pairs where the doc's lat is outside the
+    polygon's y-range, or its lon is right of the polygon's xmax, have
+    zero +x ray crossings by construction — pruning them before the edge
+    join changes nothing in the output while cutting the per-doc edge
+    work to the overlapping polygons only. The bbox table is tiny and
+    broadcast."""
     feats = features_sql(d, documents_wide_sql(d, "documents"))
-    crossing = ("(case when ((e.y1 > f.lat) <> (e.y2 > f.lat)) and "
-                "f.lon < (e.x2 - e.x1) * (f.lat - e.y1) / (e.y2 - e.y1) + e.x1 "
+    crossing = ("(case when ((e.y1 > c.lat) <> (e.y2 > c.lat)) and "
+                "c.lon < (e.x2 - e.x1) * (c.lat - e.y1) / (e.y2 - e.y1) + e.x1 "
                 "then 1 else 0 end)")
     return f"""
 WITH {feats},
 {polygons_cte(d)},
+poly_bbox AS (
+  SELECT poly_id, min(vy) AS ymin, max(vy) AS ymax, max(vx) AS xmax
+  FROM poly_verts GROUP BY poly_id
+),
+cand AS (
+  SELECT f.url, f.lat, f.lon, b.poly_id
+  FROM features f JOIN poly_bbox b
+    ON f.lat >= b.ymin AND f.lat <= b.ymax AND f.lon <= b.xmax
+),
 pip AS (
-  SELECT f.url, e.poly_id, sum({crossing}) AS crossings
-  FROM features f CROSS JOIN poly_edges e
-  GROUP BY f.url, e.poly_id
+  SELECT c.url, c.poly_id, sum({crossing}) AS crossings
+  FROM cand c JOIN poly_edges e ON e.poly_id = c.poly_id
+  GROUP BY c.url, c.poly_id
 )
 SELECT poly_id, count(*) AS n_inside,
   count(distinct url) AS n_urls
@@ -96,7 +112,12 @@ GROUP BY poly_id"""
 def q_knn_tile_neighbor(d: str) -> str:
     """kNN tile-neighbor lookup: for each synthetic query point, the
     KNN_K nearest documents among its cell + 8 neighbor cells
-    (squared-degree distance; ties by url)."""
+    (squared-degree distance; ties by url).
+
+    Scale plan: each query point explodes into its 9 neighbor (cx, cy)
+    cells, then candidates come from an EQUI-join on (cell_x, cell_y) —
+    a hash/broadcast join keyed on the cell grid, never a
+    broadcast-nested-loop scan of the corpus per query."""
     feats = features_sql(d, documents_wide_sql(d, "documents"))
     cast_str = "string" if d == "spark" else "varchar"
     qid_s = f"cast(qid as {cast_str})"
@@ -124,12 +145,19 @@ qcells AS (
             cast(floor((qlat + 90.0) / {step}) as int) AS qcy
   FROM qpts
 ),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                               (1,-1),(1,0),(1,1)) AS v(dx, dy)),
+qneighbors AS (
+  SELECT q.qid, q.qlat, q.qlon,
+    q.qcx + o.dx AS ncx, q.qcy + o.dy AS ncy
+  FROM qcells q CROSS JOIN offs o
+),
 cands AS (
   SELECT q.qid, q.qlat, q.qlon, f.url,
     (f.lat - q.qlat) * (f.lat - q.qlat)
       + (f.lon - q.qlon) * (f.lon - q.qlon) AS dist2
-  FROM qcells q JOIN features f
-    ON abs(f.cell_x - q.qcx) <= 1 AND abs(f.cell_y - q.qcy) <= 1
+  FROM qneighbors q JOIN features f
+    ON f.cell_x = q.ncx AND f.cell_y = q.ncy
 ),
 ranked AS (
   SELECT qid, url,

@@ -19,7 +19,7 @@ candidates — the cross product never materializes.
 
 from __future__ import annotations
 
-from ..dialect import SPARK, explode_series, md5_slice_int
+from ..dialect import SPARK, explode_series, idiv, md5_slice_int
 
 N_QUERIES = 20
 TOP_K = 5
@@ -28,22 +28,26 @@ N_PLANES = 8
 
 
 def _intvec_cte(d: str) -> str:
-    """Quantized int vectors: one row per (vec_id, dim, int value)."""
-    gen = explode_series("0", f"{DIM - 1}", "i", d)
-    # cast float32 -> double BEFORE scaling: Spark would otherwise
-    # multiply in float32 while DuckDB promotes to double, making the
-    # quantized ints differ by +-1.
-    elem = ("cast(embedding[i] as double)" if d == SPARK
-            else "cast(embedding[i + 1] as double)")
-    return f"""
-dims AS (
-  SELECT vec_id, label, {gen} FROM embeddings
-),
+    """Quantized int vectors: one row per (vec_id, dim, int value).
+
+    posexplode / zipped-unnest of the array itself — no self-join of the
+    embeddings table to recover positions. cast float32 -> double BEFORE
+    scaling: Spark would otherwise multiply in float32 while DuckDB
+    promotes to double, making the quantized ints differ by +-1."""
+    if d == SPARK:
+        return """
 iv AS (
-  SELECT d.vec_id, d.label, d.i,
-    cast(round({elem} * 1000000) as bigint) AS v
-  FROM (SELECT e.vec_id, e.label, e.embedding, d.i
-        FROM embeddings e JOIN dims d ON d.vec_id = e.vec_id) d
+  SELECT vec_id, label, pos AS i,
+    cast(round(cast(col as double) * 1000000) as bigint) AS v
+  FROM (SELECT vec_id, label, posexplode(embedding) FROM embeddings)
+)""".strip()
+    return """
+iv AS (
+  SELECT vec_id, label, idx - 1 AS i,
+    cast(round(cast(fv as double) * 1000000) as bigint) AS v
+  FROM (SELECT vec_id, label, unnest(embedding) AS fv,
+               unnest(generate_series(1, len(embedding))) AS idx
+        FROM embeddings)
 )""".strip()
 
 
@@ -77,21 +81,63 @@ SELECT query_id, cand_id, rank, cosine_micro
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+NEARDUP_BANDS = 4  # 2 planes per band (N_PLANES / NEARDUP_BANDS)
+
+
+def _bands_cte(d: str) -> str:
+    """Banded random-hyperplane LSH: per-vector (band, 2-bit value) rows.
+    Banding (4 bands x 2 planes) beats a single 8-plane bucket on
+    recall: a pair collides if ANY band's 2 sign bits agree."""
+    pgen = explode_series("0", f"{N_PLANES - 1}", "p", d)
+    planes_per_band = N_PLANES // NEARDUP_BANDS
+    return f"""
+planes AS (
+  SELECT i_all.i, {pgen}
+  FROM (SELECT DISTINCT i FROM iv) i_all
+),
+signs AS (
+  SELECT p, i, {_plane_sign(d)} AS s FROM planes
+),
+proj AS (
+  SELECT iv.vec_id, s.p, sum(iv.v * s.s) AS dp
+  FROM iv JOIN signs s ON s.i = iv.i
+  GROUP BY iv.vec_id, s.p
+),
+vbands AS (
+  SELECT vec_id, {idiv('p', str(planes_per_band), d)} AS band,
+    cast(sum(case when dp > 0 then power(2, p % {planes_per_band})
+             else 0 end) as int) AS bval
+  FROM proj GROUP BY vec_id, {idiv('p', str(planes_per_band), d)}
+)""".strip()
+
+
 def q_embedding_near_dup(d: str, threshold: float = 0.45) -> str:
-    """Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
-    cosine exceeds the threshold. At scale this runs over LSH-bucket
-    candidates (q_ann_lsh's bucket join); the oracle form is exact over
-    all pairs — the synthetic embeddings have max pairwise cosine ~0.51, so the 0.45
-    default yields a small non-trivial pair set."""
+    """Embedding-cosine near-duplicate pairs via banded LSH candidates +
+    exact re-rank — the candidate-generation + verification pipeline.
+
+    Scale plan: NO all-pairs dot-product join. Candidates come from the
+    banded hyperplane-sign equi-join on (band, band value) — linear in
+    vectors + candidates; the exact integer dot product and cosine
+    threshold then run per candidate pair only. Precision is exact;
+    recall is the banded-LSH collision probability (for cos >= 0.45,
+    ~0.9 with 4 bands x 2 planes; raise NEARDUP_BANDS for more)."""
     return f"""
 WITH {_intvec_cte(d)},
+{_bands_cte(d)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vbands a JOIN vbands b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+),
 norms AS (
   SELECT vec_id, sum(v * v) AS nrm FROM iv GROUP BY vec_id
 ),
 dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
-  FROM iv a JOIN iv b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+  SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dot
+  FROM cand c
+  JOIN iv a ON a.vec_id = c.id_a
+  JOIN iv b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b
 )
 SELECT d.id_a, d.id_b,
   cast(round(1000000.0 * d.dot / (sqrt(na.nrm) * sqrt(nb.nrm))) as bigint)
