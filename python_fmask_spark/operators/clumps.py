@@ -53,9 +53,9 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
         # Globalize: local component id -> its min linear pixel index
         # within this tile (min over the component of (r*W + c)).
         lin = (np.arange(h)[:, None] + lo) * W + np.arange(W)[None, :]
-        ids = np.zeros(lab.max() + 1, dtype=np.int64)
-        for comp in range(1, lab.max() + 1):
-            ids[comp] = lin[lab == comp].min()
+        ids = np.full(lab.max() + 1, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(ids, lab.ravel(), lin.ravel())
+        ids[0] = 0
         rows = pdf["r"].to_numpy()
         cols = pdf["c"].to_numpy()
         return pd.DataFrame({

@@ -37,25 +37,8 @@ def _local_fill_from_sources(img: np.ndarray, nullmask: np.ndarray,
     generalized seed set)."""
     img2 = np.where(seed_img2 >= h_max, h_max, seed_img2).astype(np.int64)
     img2[nullmask] = h_max  # nulls never propagate
-    nrows, ncols = img.shape
-    n_levels = h_max - h_min + 1
-    queues: list[list[tuple[int, int]]] = [[] for _ in range(n_levels + 1)]
-    srows, scols = np.where(img2 < h_max)
-    for r, c in zip(srows.tolist(), scols.tolist()):
-        queues[int(img2[r, c]) - h_min].append((r, c))
-    for h_crt in range(h_min, h_max):
-        q = queues[h_crt - h_min]
-        qi = 0
-        while qi < len(q):
-            r, c = q[qi]
-            qi += 1
-            for rr, cc in ((r, c - 1), (r, c + 1), (r - 1, c), (r + 1, c)):
-                if 0 <= rr < nrows and 0 <= cc < ncols \
-                        and not nullmask[rr, cc]:
-                    if img2[rr, cc] == h_max:
-                        v = max(h_crt, int(img[rr, cc]))
-                        img2[rr, cc] = v
-                        queues[v - h_min].append((rr, cc))
+    kernels.hq_fill(np.asarray(img, dtype=np.int64), nullmask, img2,
+                    h_min, h_max)
     out = img2.copy()
     out[nullmask] = _UNSET
     return out

@@ -169,14 +169,38 @@ def cdi_pcp_filter(pcp: np.ndarray, cdi: np.ndarray) -> np.ndarray:
 
 def label_components(mask: np.ndarray, eight_connected: bool = True
                      ) -> tuple[np.ndarray, int]:
-    """Two-pass union-find CCL. Label numbering follows raster scan order
+    """Run-based union-find CCL. Label numbering follows raster scan order
     of each component's first pixel — same numbering as
     ``scipy.ndimage.label`` (used at fmask/fmask.py:833-844 with 8-conn
     ``structure=ones((3,3))``, and 4-conn default at fmask/fmask.py:762-767).
+
+    Vectorized: horizontal runs are extracted with one diff over a
+    column-sentinel-padded raster; runs of adjacent rows are
+    interval-joined with two searchsorted calls per row pair; the
+    union-find then works over runs (<< pixels). A component's first
+    pixel in scan order is the start of its first run in scan order, so
+    scipy's numbering is preserved exactly.
     """
     h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int64)
-    parent: list[int] = [0]
+    out = np.zeros((h, w), dtype=np.int64)
+    if not mask.any():
+        return out, 0
+
+    # --- extract horizontal runs via a False sentinel column
+    padded = np.zeros((h, w + 1), dtype=np.int8)
+    padded[:, :w] = mask
+    flat = padded.ravel()
+    d = np.diff(flat, prepend=np.int8(0))
+    starts = np.flatnonzero(d == 1)     # inclusive start, flat index
+    stops = np.flatnonzero(d == -1)     # exclusive stop (sentinel keeps
+    # every run inside one row, so len(starts) == len(stops))
+    run_row = starts // (w + 1)
+    run_c0 = starts % (w + 1)
+    run_c1 = (stops - 1) % (w + 1)      # inclusive end column
+    n_runs = len(starts)
+
+    # --- union-find over runs (runs are in scan order by construction)
+    parent = np.arange(n_runs, dtype=np.int64)
 
     def find(x: int) -> int:
         root = x
@@ -186,55 +210,48 @@ def label_components(mask: np.ndarray, eight_connected: bool = True
             parent[x], x = root, parent[x]
         return root
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
+    e = 1 if eight_connected else 0
+    # row boundaries in the run arrays (run_row is non-decreasing)
+    row_starts = np.searchsorted(run_row, np.arange(h + 1))
+    for r in range(1, h):
+        a0, a1 = row_starts[r], row_starts[r + 1]
+        b0, b1 = row_starts[r - 1], row_starts[r]
+        if a0 == a1 or b0 == b1:
+            continue
+        # runs overlapping run a: c0_b <= c1_a + e AND c1_b >= c0_a - e.
+        # prev-row runs are disjoint & sorted, so matches are contiguous.
+        lo = b0 + np.searchsorted(run_c1[b0:b1], run_c0[a0:a1] - e, "left")
+        hi = b0 + np.searchsorted(run_c0[b0:b1], run_c1[a0:a1] + e, "right")
+        for ai in range(a1 - a0):
+            a = a0 + ai
+            for b in range(lo[ai], hi[ai]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
 
-    next_label = 1
-    if eight_connected:
-        prev_offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1)]
-    else:
-        prev_offsets = [(-1, 0), (0, -1)]
+    # --- canonical roots, numbered by first appearance in scan order
+    roots = np.empty(n_runs, dtype=np.int64)
+    for i in range(n_runs):
+        roots[i] = find(i)
+    uniq, first_idx = np.unique(roots, return_index=True)
+    # uniq is sorted by root id == scan order of the root run itself,
+    # and a root is always its component's first run, so label = rank.
+    label_of_root = np.empty(n_runs, dtype=np.int64)
+    label_of_root[uniq] = np.arange(1, len(uniq) + 1)
+    run_labels = label_of_root[roots]
 
-    for r in range(h):
-        row = mask[r]
-        for c in range(w):
-            if not row[c]:
-                continue
-            neigh = []
-            for dr, dc in prev_offsets:
-                rr, cc = r + dr, c + dc
-                if 0 <= rr < h and 0 <= cc < w and labels[rr, cc] > 0:
-                    neigh.append(labels[rr, cc])
-            if not neigh:
-                labels[r, c] = next_label
-                parent.append(next_label)
-                next_label += 1
-            else:
-                m = min(find(x) for x in neigh)
-                labels[r, c] = m
-                for x in neigh:
-                    union(x, m)
-
-    # Relabel roots in scan order of first appearance (scipy numbering).
-    remap: dict[int, int] = {}
-    out = np.zeros_like(labels)
-    nxt = 1
-    for r in range(h):
-        for c in range(w):
-            lab = labels[r, c]
-            if lab == 0:
-                continue
-            root = find(lab)
-            if root not in remap:
-                remap[root] = nxt
-                nxt += 1
-            out[r, c] = remap[root]
-    return out, nxt - 1
+    # --- paint runs into the output raster
+    lengths = run_c1 - run_c0 + 1
+    total = int(lengths.sum())
+    flat_starts = run_row * w + run_c0
+    offs = np.arange(total) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths)
+    out.ravel()[np.repeat(flat_starts, lengths) + offs] = \
+        np.repeat(run_labels, lengths)
+    return out, len(uniq)
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +264,70 @@ def _bool_dilate3(mask: np.ndarray) -> np.ndarray:
     """3x3 boolean dilation with reflect borders (stand-in for
     scipy grey_dilation(size=(3,3)) on a bool array)."""
     return neighbor_count(mask, _OFFS3) > 0
+
+
+def hq_fill(img: np.ndarray, nullmask: np.ndarray, img2: np.ndarray,
+            h_min: int, h_max: int) -> None:
+    """Hierarchical-queue reconstruction core, vectorized by level
+    (c_src/fillminima.c:270-299 with batched frontiers).
+
+    ``img2`` (int64, modified in place): seed pixels < h_max, everything
+    else (incl. nulls) == h_max. Levels are processed ascending; within a
+    level, frontiers propagate in waves (4-connected) until exhausted —
+    the result is order-independent, so wave batching is exact. Each
+    pixel is touched O(1) times in NumPy batch ops instead of a Python
+    loop iteration per pixel."""
+    nrows, ncols = img.shape
+    n = nrows * ncols
+    img_f = img.ravel()
+    img2_f = img2.ravel()
+    null_f = nullmask.ravel()
+    visited = img2_f < h_max  # seeds; h_max pixels stay assign-once
+
+    n_levels = h_max - h_min + 1
+    buckets: list[list[np.ndarray]] = [[] for _ in range(n_levels)]
+    seeds = np.flatnonzero(visited)
+    if seeds.size:
+        lv = img2_f[seeds]
+        order = np.argsort(lv, kind="stable")
+        lv_s, seeds_s = lv[order], seeds[order]
+        cuts = np.flatnonzero(np.diff(lv_s)) + 1
+        for val, chunk in zip(
+                lv_s[np.concatenate(([0], cuts))].tolist(),
+                np.split(seeds_s, cuts)):
+            buckets[int(val) - h_min].append(chunk)
+
+    for level in range(h_min, h_max):
+        parts = buckets[level - h_min]
+        frontier = (np.concatenate(parts) if parts
+                    else np.empty(0, dtype=np.int64))
+        buckets[level - h_min] = []
+        while frontier.size:
+            c = frontier % ncols
+            nb = np.concatenate([
+                frontier[c > 0] - 1,
+                frontier[c < ncols - 1] + 1,
+                frontier[frontier >= ncols] - ncols,
+                frontier[frontier < n - ncols] + ncols,
+            ])
+            nb = nb[~(null_f[nb] | visited[nb])]
+            if nb.size == 0:
+                break
+            nb = np.unique(nb)
+            v = np.maximum(level, img_f[nb])
+            img2_f[nb] = v
+            visited[nb] = True
+            at_level = v == level
+            rest, restv = nb[~at_level], v[~at_level]
+            if rest.size:
+                order = np.argsort(restv, kind="stable")
+                rv, rs = restv[order], rest[order]
+                cuts = np.flatnonzero(np.diff(rv)) + 1
+                for val, chunk in zip(
+                        rv[np.concatenate(([0], cuts))].tolist(),
+                        np.split(rs, cuts)):
+                    buckets[int(val) - h_min].append(chunk)
+            frontier = nb[at_level]
 
 
 def fill_minima(img: np.ndarray, nullval: int, boundaryval: float) -> np.ndarray:
@@ -283,24 +364,9 @@ def fill_minima(img: np.ndarray, nullval: int, boundaryval: float) -> np.ndarray
         edge[:, 0] = edge[:, -1] = True
         brows, bcols = np.where(edge & (img != h_max))
 
-    n_levels = h_max - h_min + 1
-    queues: list[list[tuple[int, int]]] = [[] for _ in range(n_levels + 1)]
     img2[brows, bcols] = boundaryval
-    for r, c in zip(brows.tolist(), bcols.tolist()):
-        queues[boundaryval - h_min].append((r, c))
-
-    for h_crt in range(h_min, h_max):
-        q = queues[h_crt - h_min]
-        qi = 0
-        while qi < len(q):
-            r, c = q[qi]
-            qi += 1
-            for rr, cc in ((r, c - 1), (r, c + 1), (r - 1, c), (r + 1, c)):
-                if 0 <= rr < nrows and 0 <= cc < ncols and not nullmask[rr, cc]:
-                    if img2[rr, cc] == h_max:
-                        v = max(h_crt, int(img[rr, cc]))
-                        img2[rr, cc] = v
-                        queues[v - h_min].append((rr, cc))
+    img2[nullmask] = h_max  # nulls never propagate
+    hq_fill(np.asarray(img, dtype=np.int64), nullmask, img2, h_min, h_max)
 
     out = img2.astype(img.dtype)
     out[nullmask] = nullval
@@ -312,6 +378,22 @@ def fill_minima(img: np.ndarray, nullval: int, boundaryval: float) -> np.ndarray
 # ---------------------------------------------------------------------------
 
 
+def clump_groups(clumps: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    """(cloud_id, flat pixel indexes) per nonzero clump — ONE argsort over
+    the raster instead of an O(n_clumps x H*W) ``clumps == id`` rescan
+    per clump (the ValueIndexes idea, fmask/valueindexes.py:98-150)."""
+    flat = clumps.ravel()
+    order = np.argsort(flat, kind="stable")
+    vals = flat[order]
+    start = np.searchsorted(vals, 1)
+    order, vals = order[start:], vals[start:]
+    if not vals.size:
+        return []
+    cuts = np.flatnonzero(np.diff(vals)) + 1
+    ids = vals[np.concatenate(([0], cuts))]
+    return list(zip((int(i) for i in ids.tolist()), np.split(order, cuts)))
+
+
 def cloud_shape_and_base_temp(
     clumps: np.ndarray, bt: np.ndarray
 ) -> tuple[np.ndarray, dict[int, float]]:
@@ -319,10 +401,9 @@ def cloud_shape_and_base_temp(
     per-clump cloud-base temperature (Eqns 22-24)."""
     cloud_shape = np.zeros(bt.shape, dtype=np.uint8)
     cloud_base_temp: dict[int, float] = {}
-    for cloud_id in np.unique(clumps):
-        if cloud_id == 0:
-            continue
-        ndx = np.where(clumps == cloud_id)
+    ncols = bt.shape[1]
+    for cloud_id, flat_ndx in clump_groups(clumps):
+        ndx = (flat_ndx // ncols, flat_ndx % ncols)
         bt_cloud = bt[ndx].astype(np.float64).copy()
         n_pix = len(ndx[0])
         R = np.sqrt(n_pix / (2 * np.pi))
@@ -358,10 +439,8 @@ def make_shadow_shapes(
     sun_az, sun_zen = angles["sun_az"], angles["sun_zen"]
     sat_az, sat_zen = angles["sat_az"], angles["sat_zen"]
     out = {}
-    for cloud_id in np.unique(clumps):
-        if cloud_id == 0:
-            continue
-        ndx = np.where(clumps == cloud_id)
+    for cloud_id, flat_ndx in clump_groups(clumps):
+        ndx = (flat_ndx // ncols, flat_ndx % ncols)
         cloud_hgt = C.METRES_PER_KM * cloud_shape[ndx].astype(np.float64) \
             / C.CLOUD_HEIGHT_SCALE
         x = ndx[1] * x_res

@@ -89,9 +89,10 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
 
     # --- 3-D clouds (fmask/fmask.py:896-951)
     cloud_shape, base_temp = kernels.cloud_shape_and_base_temp(clumps, bt)
-    base_temp_img = np.full((H, W), np.nan)
+    bt_lut = np.full(int(clumps.max()) + 1, np.nan)
     for cid, tb in base_temp.items():
-        base_temp_img[clumps == cid] = tb
+        bt_lut[cid] = tb
+    base_temp_img = bt_lut[clumps]
 
     # --- shadow shapes + matching (fmask/fmask.py:959-1060,1100-1185)
     shapes = kernels.make_shadow_shapes(clumps, cloud_shape, angles,
