@@ -21,6 +21,17 @@ from python_fmask_spark.sources import register_views  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
+
+def _s2_fixture_offsets() -> dict[str, int]:
+    """S7/S8 end-to-end: the ESA 04.00+ radiometric offsets, parsed from
+    the product-XML fixture (sen2meta.Sen2ZipfileMeta) and fed into the
+    SENTINEL2 dispatch — the reference's mandatory-offset path
+    (fmask/fmask.py:137-149, fmask/cmdline/sentinel2Stacked.py:318-341)."""
+    from python_fmask_spark import sen2meta
+    meta = sen2meta.Sen2ZipfileMeta.from_file(
+        "/root/repo/tests/fixtures/MTD_MSIL1C_fixture.xml")
+    return sen2meta.make_ref_offset_dict(meta)
+
 # name -> builder(dialect) returning a full SQL string over the
 # pre-registered views. Spark runs the SPARK rendering (declarative,
 # Catalyst-optimized); the driver runs the DUCKDB rendering as oracle.
@@ -35,6 +46,8 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "fmask_interim_class": oracle.q_fmask_interim_class,
     "pass1_cell_counts_l47": oracle.q_pass1_cell_counts_l47,
     "fmask_interim_class_s2": oracle.q_fmask_interim_class_s2,
+    "fmask_interim_class_s2_offset": lambda d: oracle.q_fmask_interim_class_s2(
+        d, s2_offsets=_s2_fixture_offsets()),
     # dedup family
     "dedup_exact": dedup.q_exact_dedup,
     "dedup_minhash_signatures": dedup.q_minhash_signatures,

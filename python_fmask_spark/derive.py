@@ -247,9 +247,12 @@ feat0b AS (
 # ---------------------------------------------------------------------------
 
 
-def _ref(band: str) -> str:
-    """DN -> reflectance with the <=0 clamp (fmask/fmask.py:334-336,502-543)."""
-    r = f"{_dbl(band)} / {C.TOA_SCALE}"
+def _ref(band: str, offset: int = 0) -> str:
+    """DN -> reflectance with the <=0 clamp (fmask/fmask.py:334-336,502-543).
+    ``offset`` is the per-band radiometric DN offset: ref = (dn+off)/scale
+    (fmask/fmask.py:534-543; mandatory for Sentinel-2 since ESA 04.00)."""
+    dn = _dbl(band) if not offset else f"({_dbl(band)} + {offset})"
+    r = f"{dn} / {C.TOA_SCALE}"
     return f"(case when {r} <= 0 then 0.00001 else {r} end)"
 
 
@@ -260,7 +263,8 @@ def bt_expr() -> str:
     return f"({C.THERMAL_K2} / ln({C.THERMAL_K1} / {rad} + 1.0) - {C.KELVIN_ZERO_DEGC})"
 
 
-def pass1_sql(d: str, sensor: str = "LANDSAT8") -> str:
+def pass1_sql(d: str, sensor: str = "LANDSAT8",
+              s2_offsets: dict[str, int] | None = None) -> str:
     """CTE chain computing pass-1 layers over ``features``.
 
     Produces the 8 layers of the reference's pass1 stack
@@ -271,10 +275,19 @@ def pass1_sql(d: str, sensor: str = "LANDSAT8") -> str:
       LANDSAT8  — 7 null bands, cirrus test, thermal terms (default)
       LANDSAT47 — 6 null bands (no cirrus), thermal terms
       SENTINEL2 — visible-only null bands, cirrus test, NO thermal
-    """
+
+    ``s2_offsets`` (SENTINEL2 only, MANDATORY there): per-engine-band
+    radiometric DN offsets from the product XML
+    (sen2meta.make_ref_offset_dict) — the reference refuses to run S2
+    without them (fmask/fmask.py:137-149)."""
     has_thermal = sensor != "SENTINEL2"
     has_cirrus = sensor in ("LANDSAT8", "SENTINEL2")
-    refs = {b: _ref(b) for b in
+    if sensor == "SENTINEL2":
+        from .sen2meta import require_s2_offsets
+        offs = require_s2_offsets(s2_offsets)
+    else:
+        offs = {}
+    refs = {b: _ref(b, offs.get(b, 0)) for b in
             ("blue", "green", "red", "nir", "swir1", "swir2", "cirrus")}
     ref_sel = ", ".join(f"{e} AS ref_{n}" for n, e in refs.items())
 

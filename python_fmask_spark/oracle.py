@@ -16,11 +16,13 @@ from .dialect import DUCKDB, SPARK
 
 
 def _ctes(d: str, upto: str, table: str = "documents",
-          sensor: str = "LANDSAT8") -> str:
+          sensor: str = "LANDSAT8",
+          s2_offsets: dict[str, int] | None = None) -> str:
     parts = [derive.features_sql(d, derive.documents_wide_sql(d, table))]
     order = ["pass1", "thresholds", "pass2", "pass3", "majority"]
     builders = {
-        "pass1": lambda d: derive.pass1_sql(d, sensor=sensor),
+        "pass1": lambda d: derive.pass1_sql(d, sensor=sensor,
+                                            s2_offsets=s2_offsets),
         "thresholds": lambda d: derive.thresholds_sql(d, sensor=sensor),
         "pass2": lambda d: derive.pass2_sql(d, sensor=sensor),
         "pass3": lambda d: derive.pass3_sql(d, sensor=sensor),
@@ -145,13 +147,25 @@ SELECT cell_id, count(*) AS n_docs,
 FROM pass1 GROUP BY cell_id"""
 
 
-def q_fmask_interim_class_s2(d: str) -> str:
+# Explicit all-zero offsets: a pre-04.00 product's offsets, stated
+# explicitly as the reference requires (fmask/fmask.py:137-149).
+S2_ZERO_OFFSETS = {b: 0 for b in
+                   ("blue", "green", "red", "nir", "swir1", "swir2",
+                    "cirrus")}
+
+
+def q_fmask_interim_class_s2(d: str,
+                             s2_offsets: dict[str, int] | None = None
+                             ) -> str:
     """Sensor dispatch: Sentinel-2 (no thermal -> BT thresholds NULL and
     temperature probs degrade to 1, fmask/fmask.py:645-666; cloudmask3
     disabled, fmask/fmask.py:747-748; visible-only null bands,
-    fmask/fmask.py:298-302)."""
+    fmask/fmask.py:298-302). ``s2_offsets`` feeds the mandatory
+    radiometric offsets (parsed from the product XML via
+    sen2meta.Sen2ZipfileMeta at the call site)."""
     from . import constants as C
-    ctes = _ctes(d, "majority", sensor="SENTINEL2")
+    ctes = _ctes(d, "majority", sensor="SENTINEL2",
+                 s2_offsets=s2_offsets or S2_ZERO_OFFSETS)
     return f"""{ctes}
 SELECT url, cell_id, r, c,
   cast(case
