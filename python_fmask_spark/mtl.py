@@ -48,12 +48,55 @@ class ThermalInfo:
     k2: float
 
 
-def thermal_info_from_mtl(mtl: dict[str, str], band: str = "6") -> ThermalInfo:
-    """Modern-format thermal constants (RADIANCE_MULT/ADD + K1/K2;
-    fmask/config.py:560-575)."""
-    return ThermalInfo(
-        gain=float(mtl[f"RADIANCE_MULT_BAND_{band}"]),
-        offset=float(mtl[f"RADIANCE_ADD_BAND_{band}"]),
-        k1=float(mtl[f"K1_CONSTANT_BAND_{band}"]),
-        k2=float(mtl[f"K2_CONSTANT_BAND_{band}"]),
-    )
+# Thermal band number per spacecraft (fmask/config.py:537-541)
+LANDSAT_TH_BAND_NUM = {"LANDSAT_4": "6", "LANDSAT_5": "6",
+                       "LANDSAT_7": "6_VCID_1",
+                       "LANDSAT_8": "10", "LANDSAT_9": "10"}
+
+# L4/5/7 MTLs often omit K1/K2; published constants by sensor id
+# (fmask/config.py:544-548)
+LANDSAT_K1 = {"TM": 607.76, "ETM": 666.09, "ETM+": 666.09}
+LANDSAT_K2 = {"TM": 1260.56, "ETM": 1282.71, "ETM+": 1282.71}
+
+
+def thermal_info_from_mtl(mtl: dict[str, str],
+                          band: str | None = None) -> ThermalInfo:
+    """Thermal calibration from an MTL dict, covering all three MTL
+    generations (readThermalInfoFromLandsatMTL, fmask/config.py:551-610):
+
+    * modern:  RADIANCE_MULT/ADD_BAND_n + K1/K2_CONSTANT_BAND_n
+    * oldest:  LMIN/LMAX/QCALMIN/QCALMAX_BANDn -> gain/offset derived
+               (gain = (lMax-lMin)/(qcalMax-qcalMin),
+                offset = lMin - qcalMin*gain); L7 uses band '61' keys
+    * missing K1/K2: fall back to the published per-sensor constants
+    """
+    spacecraft = mtl.get("SPACECRAFT_ID")
+    if band is None:
+        if spacecraft not in LANDSAT_TH_BAND_NUM:
+            raise KeyError("Cannot find SPACECRAFT_ID in MTL file")
+        band = LANDSAT_TH_BAND_NUM[spacecraft]
+
+    mult_key = f"RADIANCE_MULT_BAND_{band}"
+    if mult_key in mtl:
+        gain = float(mtl[mult_key])
+        offset = float(mtl[f"RADIANCE_ADD_BAND_{band}"])
+    else:
+        # oldest-format MTL (fmask/config.py:576-585)
+        old_band = "61" if spacecraft == "LANDSAT_7" else band
+        l_max = float(mtl[f"LMAX_BAND{old_band}"])
+        l_min = float(mtl[f"LMIN_BAND{old_band}"])
+        qcal_max = float(mtl[f"QCALMAX_BAND{old_band}"])
+        qcal_min = float(mtl[f"QCALMIN_BAND{old_band}"])
+        gain = (l_max - l_min) / (qcal_max - qcal_min)
+        offset = l_min - qcal_min * gain
+
+    k1_key, k2_key = f"K1_CONSTANT_BAND_{band}", f"K2_CONSTANT_BAND_{band}"
+    if k1_key in mtl:
+        k1 = float(mtl[k1_key])
+        k2 = float(mtl[k2_key])
+    else:
+        sensor = mtl.get("SENSOR_ID")
+        if sensor not in LANDSAT_K1:
+            raise KeyError("Cannot find SENSOR_ID in MTL file")
+        k1, k2 = LANDSAT_K1[sensor], LANDSAT_K2[sensor]
+    return ThermalInfo(gain=gain, offset=offset, k1=k1, k2=k2)
