@@ -71,6 +71,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "geo_knn_tile_neighbor": geo.q_knn_tile_neighbor,
     # radiometric chain (P23-P29)
     "sun_angles": angles.q_sun_angles,
+    "sat_angles": angles.q_sat_angles,
     "toa_reflectance": angles.q_toa_reflectance,
     # inventory ops (P26/A10/A11/J3)
     "zero_band_check": inventory.q_zero_band_check,

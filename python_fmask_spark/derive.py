@@ -173,6 +173,88 @@ def angle_exprs(d: str) -> dict[str, str]:
     }
 
 
+def sat_angle_px_exprs(d: str) -> dict[str, str]:
+    """Per-pixel satellite view angles from nadir-line geometry
+    (makeAngles, fmask/landsatangles.py:347-382) plus bilinear
+    corner-interpolated sun angles (bilinearInterp,
+    fmask/landsatangles.py:385-400), as column exprs over
+    (cell_id, cell_y, r, c, cell_rows).
+
+    The swathe is synthesized per cell: raster-extent corners sheared by
+    a deterministic md5-derived skew (a descending-pass nadir line is
+    never axis-parallel). Outputs are the reference's DN form —
+    round(radians * 100) int16 (radianScale, landsatangles.py:369) —
+    which also quantizes away cross-engine trig ulp noise.
+    """
+    W = C.SCENE_WIDTH
+    xres, yres = C.X_RES, C.Y_RES
+    # pixel-centre map coords; y axis points up (north), rows go down
+    x = f"((c + 0.5) * {xres})"
+    y = f"(-(r + 0.5) * {yres})"
+    x_max = f"({W} * {xres})"
+    y_min = f"(-(cell_rows * {yres}))"
+    skew_h = md5_slice_int(_q_cell("skew"), 1, 6, d)
+    skew = f"({_dbl(f'({skew_h} % 2000)')} + 500.0)"
+    m = f"((0.0 - {y_min}) / {skew})"
+    b = f"(-{m} * ({skew} + {x_max} / 2.0))"
+    dist = f"(abs({m} * {x} - {y} + {b}) / sqrt({m} * {m} + 1.0))"
+    # local earth radius of curvature at the cell-centre latitude
+    # (localRadius, fmask/landsatangles.py:198-216); WGS84 constants
+    lat_ctr = f"radians((cell_y + 0.5) * {C.CELL_DEG} - 90.0)"
+    e2 = 2 * (1 / 298.257223563) - (1 / 298.257223563) ** 2
+    R = f"(6378137.0 / sqrt(1.0 - {e2} * sin({lat_ctr}) * sin({lat_ctr})))"
+    sat_zen = f"(atan({dist} / 705000.0) + atan({dist} / {R}))"
+    is_left = f"(({y} - ({m} * {x} + {b})) > 0)"
+    az_left = f"({PI_LIT} / 2.0 - atan(-1.0 / {m}))"
+    sat_az = f"(case when {is_left} then {az_left} else {az_left} - {PI_LIT} end)"
+
+    # bilinear sun interpolation from 4 md5-derived extent-corner values
+    p = f"(({y} - {y_min}) / (0.0 - {y_min}))"
+    q = f"({x} / {x_max})"
+
+    def corner(name: str, base: str, spread: int) -> str:
+        j = _dbl(f"({md5_slice_int(_q_cell(name), 1, 6, d)} % {spread})")
+        return f"({base} + {j} / 1000.0)"
+
+    def bilinear(prefix: str, base: str, spread: int) -> str:
+        tl = corner(f"{prefix}_tl", base, spread)
+        tr = corner(f"{prefix}_tr", base, spread)
+        bl = corner(f"{prefix}_bl", base, spread)
+        br = corner(f"{prefix}_br", base, spread)
+        return (f"({tr} * {p} * {q} + {tl} * {p} * (1.0 - {q}) "
+                f"+ {br} * (1.0 - {p}) * {q} "
+                f"+ {bl} * (1.0 - {p}) * (1.0 - {q}))")
+
+    sun_az_i = bilinear("saz", "1.0", 900)   # ~1.0-1.9 rad across corners
+    sun_zen_i = bilinear("szn", "0.3", 400)  # ~0.3-0.7 rad
+
+    def dn(expr: str) -> str:
+        return f"cast({round_half_away(f'({expr} * 100.0)', d)} as int)"
+
+    return {
+        "sat_az_cdn": dn(sat_az),
+        "sat_zen_cdn": dn(sat_zen),
+        "sun_az_cdn": dn(sun_az_i),
+        "sun_zen_cdn": dn(sun_zen_i),
+    }
+
+
+def _q_cell(suffix: str) -> str:
+    return f"concat(cell_id, '_{suffix}')"
+
+
+PI_LIT = "3.141592653589793"
+
+
+def round_half_away(expr: str, d: str) -> str:
+    """round() in both dialects is HALF_AWAY for our non-negative /
+    symmetric uses — numpy.round differs (HALF_EVEN) but the reference's
+    angle DN path goes through numpy.round on values whose 1e-2 grid
+    makes ties measure-zero; plain round() matches in practice and is
+    identical across the two SQL engines."""
+    return f"round({expr})"
+
+
 def features_sql(d: str, docs_sql: str, layout: bool = True,
                  cell_deg: float | None = None) -> str:
     """Full doc_features derivation as a CTE chain over documents_wide.
@@ -199,17 +281,27 @@ def features_sql(d: str, docs_sql: str, layout: bool = True,
     ang_sel = ", ".join(f"{e} AS {n}" for n, e in ang.items())
 
     if layout:
+        satsel = ", ".join(f"{e} AS {n}"
+                           for n, e in sat_angle_px_exprs(d).items())
         tail = f"""
 feat1 AS (
   SELECT *,
     (row_number() OVER (PARTITION BY cell_id ORDER BY url) - 1) AS idx
   FROM feat0b
 ),
-features AS (
+feat2 AS (
   SELECT *,
     cast({idiv('idx', str(W), d)} as int) AS r,
     cast(idx % {W} as int) AS c
   FROM feat1
+),
+feat3 AS (
+  SELECT *, max(r) OVER (PARTITION BY cell_id) + 1 AS cell_rows
+  FROM feat2
+),
+features AS (
+  SELECT *, {satsel}
+  FROM feat3
 )"""
     else:
         tail = """

@@ -89,6 +89,21 @@ FROM t6"""
     # exercised (vs a NumPy transcription) in tests.
 
 
+def q_sat_angles(d: str) -> str:
+    """P28/P29: the per-pixel 4-layer angle stack (makeAngles,
+    fmask/landsatangles.py:347-382) — satellite azimuth/zenith from the
+    nadir-line geometry and sun angles bilinearly interpolated from the
+    extent corners (:385-400), in the reference's round(radians*100)
+    int16 DN form. Exprs built once in derive.sat_angle_px_exprs and
+    shared with the features derivation that feeds shadow matching."""
+    feats = features_sql(d, documents_wide_sql(d, "documents"))
+    return f"""
+WITH {feats}
+SELECT url, cell_id, r, c,
+  sat_az_cdn, sat_zen_cdn, sun_az_cdn, sun_zen_cdn
+FROM features"""
+
+
 def q_toa_reflectance(d: str) -> str:
     """TOA reflectance (riosTOA, fmask/landsatTOA.py:118-148):
     p = pi * L * d^2 / (ESUN * cos(theta_z)), clipped to [0, 2] and scaled

@@ -431,16 +431,28 @@ def make_shadow_shapes(
     angles: dict[str, float],
     x_res: float = C.X_RES,
     y_res: float = C.Y_RES,
+    sat_az_img: np.ndarray | None = None,
+    sat_zen_img: np.ndarray | None = None,
 ) -> dict[int, tuple[tuple[np.ndarray, np.ndarray], float, float, float, float]]:
     """Project cloud-top pixels along the sun vector onto the cloud-base
     plane (makeCloudShadowShapes, fmask/fmask.py:959-1060; the cheap
-    cloud-top-only variant, duplicates kept, fmask/fmask.py:1021-1052)."""
+    cloud-top-only variant, duplicates kept, fmask/fmask.py:1021-1052).
+
+    ``sat_az_img``/``sat_zen_img`` (radians): per-pixel view-angle grids
+    (the makeAngles stack); when given, each clump's sat angles are the
+    mean over its pixels — AnglesFileInfo.getView*Angle semantics
+    (fmask/config.py:736-746, fmask/fmask.py:982-985). Otherwise the
+    constant ``angles`` values are used (AnglesByPoint variant)."""
     nrows, ncols = clumps.shape
     sun_az, sun_zen = angles["sun_az"], angles["sun_zen"]
-    sat_az, sat_zen = angles["sat_az"], angles["sat_zen"]
     out = {}
     for cloud_id, flat_ndx in clump_groups(clumps):
         ndx = (flat_ndx // ncols, flat_ndx % ncols)
+        if sat_az_img is not None:
+            sat_az = float(sat_az_img[ndx].mean())
+            sat_zen = float(sat_zen_img[ndx].mean())
+        else:
+            sat_az, sat_zen = angles["sat_az"], angles["sat_zen"]
         cloud_hgt = C.METRES_PER_KM * cloud_shape[ndx].astype(np.float64) \
             / C.CLOUD_HEIGHT_SCALE
         x = ndx[1] * x_res

@@ -95,8 +95,17 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
     base_temp_img = bt_lut[clumps]
 
     # --- shadow shapes + matching (fmask/fmask.py:959-1060,1100-1185)
+    # Per-pixel view angles from the makeAngles DN stack (P28): each
+    # clump's sat angles are the mean over its pixels x 0.01 rad
+    # (AnglesFileInfo scaleToRadians, fmask/config.py:691,736-746).
+    sat_az_img = sat_zen_img = None
+    if "sat_az_cdn" in pdf.columns:
+        sat_az_img = _to_raster(pdf, "sat_az_cdn", H, W, 0, np.int64) * 0.01
+        sat_zen_img = _to_raster(pdf, "sat_zen_cdn", H, W, 0, np.int64) * 0.01
     shapes = kernels.make_shadow_shapes(clumps, cloud_shape, angles,
-                                        params.x_res, params.y_res)
+                                        params.x_res, params.y_res,
+                                        sat_az_img=sat_az_img,
+                                        sat_zen_img=sat_zen_img)
     shadowmask = np.zeros((H, W), dtype=bool)
     for cloud_id, entry in shapes.items():
         t_base = base_temp.get(cloud_id, 0)

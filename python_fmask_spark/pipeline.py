@@ -30,7 +30,8 @@ _KERNEL_COLS = ("url", "cell_id", "r", "c",
                 "sha2(text, 256) AS text_sha256", "nir", "bt",
                 "nullmask", "water_test", "snow", "cloud_raw",
                 "g_tlow", "g_thigh", "g_b4_17",
-                "sun_az", "sun_zen", "sat_az", "sat_zen")
+                "sun_az", "sun_zen", "sat_az", "sat_zen",
+                "sat_az_cdn", "sat_zen_cdn")
 
 
 def pass3_sql(table: str = "documents") -> str:

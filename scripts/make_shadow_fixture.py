@@ -40,7 +40,8 @@ OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tests/fixtures"
 
 KERNEL_COLS = ("url, cell_id, r, c, sha256(text) AS text_sha256, nir, bt, "
                "nullmask, water_test, snow, cloud_raw, "
-               "g_tlow, g_thigh, g_b4_17, sun_az, sun_zen, sat_az, sat_zen")
+               "g_tlow, g_thigh, g_b4_17, sun_az, sun_zen, sat_az, sat_zen, "
+               "sat_az_cdn, sat_zen_cdn")
 
 
 def pass3_duckdb(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
