@@ -158,6 +158,15 @@ def _potential_shadow_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast((filled - nir) / 10000.0 > 0.02 as int) AS potential_shadow")
 
 
+def _s2_cdi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 wired: Sentinel-2 displacement test (Frantz 2018 CDI) as a
+    pipeline option. Spark runs the per-cell kernel (focal variance +
+    erode + fixpoint region grow); the oracle is the recursive-CTE SQL
+    form — the driver compare proves kernel == SQL."""
+    register_views(spark, sf_dir)
+    return pipeline.s2_cdi_pcp(spark)
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side runs the Arrow-batched mapInPandas extractor; the
     DuckDB oracle (multimodal.q_features_oracle) renders the stub decode
@@ -226,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pass2_probs"] = _pass2_probs_fast
     # kernel-path operators (no SQL oracle -> rows-only driver check)
     out["fmask_final_class"] = _fmask_final_class
+    out["s2_cdi_pcp"] = _s2_cdi
     out["multimodal_features"] = _multimodal_features
     out["potential_shadow_dist"] = _potential_shadow_dist
     out["cloud_objects"] = _cloud_objects
@@ -239,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: builder(DUCKDB) for name, builder in _SQL_QUERIES.items()}
     # kernel/UDF-path queries whose oracle is an independent SQL rendering
     out["multimodal_features"] = multimodal.q_features_oracle(DUCKDB)
+    out["s2_cdi_pcp"] = oracle.q_s2_cdi(DUCKDB)
     # Shadow-chain oracles: frozen parquet fixtures computed by an
     # independent replay (DuckDB-dialect pass-1..3 SQL + whole-scene
     # NumPy kernels; scripts/make_shadow_fixture.py). The Spark side

@@ -111,6 +111,11 @@ def band_exprs(d: str) -> dict[str, str]:
     def J2(start: int, mod: int) -> str:
         return jitter(t2, start, mod, d)
 
+    t3 = "concat(text, '_8a')"
+
+    def J3(start: int, mod: int) -> str:
+        return jitter(t3, start, mod, d)
+
     def case(cloud: str, water: str, snow: str, dark: str, land: str) -> str:
         return (
             f"cast(case when latent >= {LATENT_NULL_LO} then 0 "
@@ -151,6 +156,19 @@ def band_exprs(d: str) -> dict[str, str]:
         "therm_dn": case(
             f"430 + {J2(1, 170)}", f"800 + {J2(1, 200)}",
             f"500 + {J2(1, 100)}", f"850 + {J2(1, 150)}", f"900 + {J2(1, 200)}"),
+        # S2 CDI bands (Frantz 2018 displacement test, BAND_S2CDI_NIR8A /
+        # BAND_S2CDI_NIR7, fmask/config.py:63-65): B07/B08A sit on the
+        # narrow NIR shoulder — smooth relative to the noisy broad B08,
+        # so the 8A/7 ratio has low focal variance while 8A/8 is noisy
+        # (the parallax signature the CDI thresholds key on).
+        "nir7": case(
+            f"2800 + {J3(1, 200)}", f"120 + {J3(1, 100)}",
+            f"1400 + {J3(1, 200)}", f"520 + {J3(1, 150)}",
+            f"2900 + {J3(1, 400)}"),
+        "nir8a": case(
+            f"2850 + {J3(5, 150)}", f"130 + {J3(5, 80)}",
+            f"1450 + {J3(5, 150)}", f"540 + {J3(5, 120)}",
+            f"2950 + {J3(5, 300)}"),
         # rare saturation flags (DERM extra test, fmask/fmask.py:414-421)
         "sat_blue": f"({J2(5, 1000)} < 6)",
         "sat_green": f"({J2(9, 1000)} < 6)",

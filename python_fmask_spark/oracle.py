@@ -147,6 +147,99 @@ SELECT cell_id, count(*) AS n_docs,
 FROM pass1 GROUP BY cell_id"""
 
 
+def q_s2_cdi(d: str, s2_offsets: dict[str, int] | None = None) -> str:
+    """DuckDB oracle for the Sentinel-2 displacement test (W4; Frantz
+    2018 CDI, fmask/fmask.py:398-406 + calcCDI :1412-1429): band-ratio
+    focal variances over a 7x7 reflect-border window, CDI with
+    divide-by-zero guard and float32 rounding, confident selection
+    (cdi < -0.5) eroded by one 4-connected pixel, region-grown to
+    fixpoint within (cdi < -0.25) via a RECURSIVE CTE, and the PCP
+    restricted to the grown selection before the cirrus/saturation OR.
+
+    The Spark side runs the tiled kernel path (pipeline.s2_cdi_pcp);
+    this SQL form is the independent oracle."""
+    if d == SPARK:
+        raise NotImplementedError(
+            "Spark runs the kernel path (pipeline.s2_cdi_pcp); the SQL "
+            "rendering is the DuckDB oracle only")
+    offs = s2_offsets or S2_ZERO_OFFSETS
+    ctes = _ctes(d, "pass1", sensor="SENTINEL2", s2_offsets=offs)
+    body = ctes[len("WITH "):]
+    ref8a = derive._ref("nir8a", offs.get("nir8a", 0))
+    ref7 = derive._ref("nir7", offs.get("nir7", 0))
+    win = 7
+    offsets = ", ".join(f"({a}, {b})" for a in range(-3, 4)
+                        for b in range(-3, 4))
+    W = C.SCENE_WIDTH
+    refl_r = (f"(case when p.r + o.dr < 0 then -(p.r + o.dr) - 1 "
+              f"when p.r + o.dr >= p.cell_rows "
+              f"then 2 * p.cell_rows - (p.r + o.dr) - 1 "
+              f"else p.r + o.dr end)")
+    refl_c = (f"(case when p.c + o.dc < 0 then -(p.c + o.dc) - 1 "
+              f"when p.c + o.dc >= {W} then 2 * {W} - (p.c + o.dc) - 1 "
+              f"else p.c + o.dc end)")
+    n2 = win * win
+    return f"""WITH RECURSIVE {body},
+cdi0 AS (
+  SELECT url, cell_id, r, c, cell_rows, nullmask,
+    (basic_test AND whiteness0 < {C.EQN2_WHITENESS_THRESH}
+     AND haze_test AND b45_test) AS pcp6,
+    cirrus_band_test, sat_and_bright,
+    cast(cast(ref_nir / {ref8a} as REAL) as double) AS r88,
+    cast(cast({ref7} / {ref8a} as REAL) as double) AS r87
+  FROM pass1
+),
+offs49 AS (SELECT * FROM (VALUES {offsets}) AS v(dr, dc)),
+var0 AS (
+  SELECT p.url AS vurl,
+    sum(q.r88) / {n2} AS m88, sum(q.r88 * q.r88) / {n2} AS m88sq,
+    sum(q.r87) / {n2} AS m87, sum(q.r87 * q.r87) / {n2} AS m87sq
+  FROM cdi0 p
+  CROSS JOIN offs49 o
+  LEFT JOIN cdi0 q
+    ON q.cell_id = p.cell_id AND q.r = {refl_r} AND q.c = {refl_c}
+  GROUP BY p.url
+),
+cdi AS (
+  SELECT c0.*,
+    cast(case when (v.m87sq - v.m87 * v.m87) + (v.m88sq - v.m88 * v.m88) = 0
+         then 0.0
+         else ((v.m87sq - v.m87 * v.m87) - (v.m88sq - v.m88 * v.m88))
+              / ((v.m87sq - v.m87 * v.m87) + (v.m88sq - v.m88 * v.m88))
+         end as REAL) AS cdi32
+  FROM cdi0 c0 JOIN var0 v ON v.vurl = c0.url
+),
+sel0 AS (SELECT url, cell_id, r, c FROM cdi WHERE pcp6 AND cdi32 < -0.5),
+eroded AS (
+  SELECT s.url, s.cell_id, s.r, s.c FROM sel0 s
+  JOIN sel0 nu ON nu.cell_id = s.cell_id AND nu.r = s.r - 1 AND nu.c = s.c
+  JOIN sel0 nd ON nd.cell_id = s.cell_id AND nd.r = s.r + 1 AND nd.c = s.c
+  JOIN sel0 nl ON nl.cell_id = s.cell_id AND nl.r = s.r AND nl.c = s.c - 1
+  JOIN sel0 nr ON nr.cell_id = s.cell_id AND nr.r = s.r AND nr.c = s.c + 1
+),
+rg AS (SELECT url, cell_id, r, c FROM cdi WHERE pcp6 AND cdi32 < -0.25),
+grown AS (
+  SELECT url, cell_id, r, c FROM eroded
+  UNION
+  SELECT m.url, m.cell_id, m.r, m.c
+  FROM grown g JOIN rg m ON m.cell_id = g.cell_id
+    AND ((abs(m.r - g.r) = 1 AND m.c = g.c)
+         OR (m.r = g.r AND abs(m.c - g.c) = 1))
+)
+SELECT c.url, c.cell_id, c.r, c.c,
+  cast(case when c.cdi32 >= 0
+       then floor(cast(c.cdi32 as double) * 1000 + 0.5)
+       else -floor(-cast(c.cdi32 as double) * 1000 + 0.5) end as int)
+    AS cdi_milli,
+  cast(case when g.url IS NOT NULL AND c.pcp6 then 1 else 0 end as int)
+    AS pcp_cdi,
+  cast(case when NOT c.nullmask AND
+       ((g.url IS NOT NULL AND c.pcp6) OR c.cirrus_band_test
+        OR c.sat_and_bright) then 1 else 0 end as int) AS pcp_final
+FROM cdi c
+LEFT JOIN (SELECT DISTINCT url FROM grown) g ON g.url = c.url"""
+
+
 # Explicit all-zero offsets: a pre-04.00 product's offsets, stated
 # explicitly as the reference requires (fmask/fmask.py:137-149).
 S2_ZERO_OFFSETS = {b: 0 for b in

@@ -131,6 +131,88 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
             else {1} end as int)""").alias("fmask_class"))
 
 
+def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
+               s2_offsets: dict[str, int] | None = None) -> DataFrame:
+    """Sentinel-2 displacement-test PCP (W4), the pipeline option
+    mirroring setSen2displacementTest (fmask/config.py:388-394, applied
+    fmask/fmask.py:398-406): CDI from 7x7 focal variances of the
+    B8/B8A and B7/B8A ratios, confident selection (cdi < -0.5) eroded
+    then region-grown within (cdi < -0.25), PCP restricted to the grown
+    selection before the cirrus/saturation OR.
+
+    Plan shape: declarative pass-1 -> shuffle by cell -> per-cell Arrow
+    kernel (focal variance + erosion + fixpoint grow are whole-scene
+    ops, exactly the reference's per-scene stage). Oracle:
+    oracle.q_s2_cdi's SQL form incl. a RECURSIVE region-grow CTE."""
+    import numpy as np
+    import pandas as pd
+
+    from . import constants as C
+    from . import oracle
+    from .operators import kernels
+
+    ensure_package_on_executors(spark)
+    offs = s2_offsets or oracle.S2_ZERO_OFFSETS
+    ctes = ",\n".join([
+        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
+        derive.pass1_sql(SPARK, sensor="SENTINEL2", s2_offsets=offs),
+    ])
+    ref8a = derive._ref("nir8a", offs.get("nir8a", 0))
+    ref7 = derive._ref("nir7", offs.get("nir7", 0))
+    src = spark.sql(f"""WITH {ctes}
+SELECT url, cell_id, r, c, nullmask,
+  (basic_test AND whiteness0 < {C.EQN2_WHITENESS_THRESH}
+   AND haze_test AND b45_test) AS pcp6,
+  cirrus_band_test, sat_and_bright,
+  cast(cast(ref_nir / {ref8a} as float) as double) AS r88,
+  cast(cast({ref7} / {ref8a} as float) as double) AS r87
+FROM pass1""")
+
+    W = C.SCENE_WIDTH
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        H = int(pdf["r"].max()) + 1
+        rr = pdf["r"].to_numpy()
+        cc = pdf["c"].to_numpy()
+
+        def rast(col, fill, dtype):
+            a = np.full((H, W), fill, dtype=dtype)
+            a[rr, cc] = pdf[col].to_numpy().astype(dtype)
+            return a
+
+        r88 = rast("r88", 0.0, np.float64)
+        r87 = rast("r87", 0.0, np.float64)
+        pcp6 = rast("pcp6", False, bool)
+        null = rast("nullmask", True, bool)
+        cirrus = rast("cirrus_band_test", False, bool)
+        sat = rast("sat_and_bright", False, bool)
+
+        v88 = kernels.focal_variance(r88, 7)
+        v87 = kernels.focal_variance(r87, 7)
+        cdi = np.zeros((H, W), dtype=np.float32)
+        ok = (v87 + v88) != 0
+        cdi[ok] = (v87[ok] - v88[ok]) / (v87[ok] + v88[ok])
+
+        pcp_cdi = kernels.cdi_pcp_filter(pcp6, cdi)
+        pcp_final = ~null & (pcp_cdi | cirrus | sat)
+        c64 = cdi.astype(np.float64)
+        cdi_milli = np.where(
+            c64 >= 0, np.floor(c64 * 1000 + 0.5),
+            -np.floor(-c64 * 1000 + 0.5)).astype(np.int32)
+        return pd.DataFrame({
+            "url": pdf["url"].to_numpy(),
+            "cell_id": pdf["cell_id"].to_numpy(),
+            "r": rr.astype(np.int32), "c": cc.astype(np.int32),
+            "cdi_milli": cdi_milli[rr, cc],
+            "pcp_cdi": pcp_cdi[rr, cc].astype(np.int32),
+            "pcp_final": pcp_final[rr, cc].astype(np.int32),
+        })
+
+    return src.groupBy("cell_id").applyInPandas(
+        kernel, schema=("url string, cell_id string, r int, c int, "
+                        "cdi_milli int, pcp_cdi int, pcp_final int"))
+
+
 def classify(spark: SparkSession, table: str = "documents",
              params: FmaskParams | None = None) -> DataFrame:
     """Full classification: returns (url, cell_id, r, c, fmask_class,
