@@ -1,0 +1,97 @@
+"""Mask sinks: the raster sink (S3) and thematic metadata sink (S4).
+
+The reference writes a single-band thematic raster and attaches a GDAL
+color table + raster attribute table of class names
+(fmask/fmask.py:1338-1351). The Spark-native equivalents:
+
+* S3 — the mask table itself, written through the DataFrameWriterV2
+  (``df.writeTo``) surface, partitioned by cell_id. Format is Iceberg
+  when the runtime has it (the production target: snapshots +
+  table-properties survive engine restarts), falling back to the
+  session catalog's parquet provider in this sandbox — the API surface
+  (writeTo / tableProperty / partitionedBy / createOrReplace) is
+  identical either way.
+* S4 — the color table + class-name RAT as (a) TBLPROPERTIES on the
+  mask table (``fmask.color_table`` / ``fmask.class_names`` JSON) and
+  (b) a first-class ``<name>_rat`` dimension table joinable onto the
+  mask (class_value, class_name, red, green, blue, alpha).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+# GDAL color table rows (class, R, G, B, A) — fmask/fmask.py:1338-1342
+COLOR_TABLE = [
+    (2, 255, 0, 255, 255),     # cloud
+    (3, 255, 255, 0, 255),     # cloud shadow
+    (4, 85, 255, 255, 255),    # snow
+    (5, 0, 0, 255, 255),       # water
+]
+
+# RAT "Classification" column — fmask/fmask.py:1346-1347
+CLASS_NAMES = ["Null", "Valid", "Cloud", "Cloud Shadow", "Snow", "Water"]
+
+
+def class_rat_df(spark: SparkSession) -> DataFrame:
+    """The raster attribute table as a dimension table: one row per
+    class value, with the reference's class names and color entries
+    (colorless classes carry NULL channels, like a GDAL CT default)."""
+    colors = {c: (r, g, b, a) for c, r, g, b, a in COLOR_TABLE}
+    rows = []
+    for value, name in enumerate(CLASS_NAMES):
+        r, g, b, a = colors.get(value, (None, None, None, None))
+        rows.append((value, name, r, g, b, a))
+    return spark.createDataFrame(
+        rows, "class_value int, class_name string, red int, green int, "
+              "blue int, alpha int")
+
+
+def write_mask(df: DataFrame, name: str,
+               fmt: str | None = None,
+               partition_col: str = "cell_id") -> str:
+    """Write the mask table through writeTo with the thematic metadata
+    attached; returns the format actually used ('iceberg' or the
+    fallback provider)."""
+    spark = df.sparkSession
+    used = fmt or "iceberg"
+    props = {
+        "fmask.color_table": json.dumps(COLOR_TABLE),
+        "fmask.class_names": json.dumps(CLASS_NAMES),
+    }
+
+    def attempt(provider: str) -> None:
+        from pyspark.sql import functions as F
+        # drop-then-create instead of createOrReplace: the V1 session
+        # catalog (the parquet fallback) does not support RTAS; Iceberg
+        # catalogs accept either.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        w = df.writeTo(name).using(provider).partitionedBy(
+            F.col(partition_col))
+        for k, v in props.items():
+            w = w.tableProperty(k, v)
+        w.create()
+
+    try:
+        attempt(used)
+    except Exception:
+        if fmt is not None:
+            raise
+        used = "parquet"
+        attempt(used)
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}_rat")
+    class_rat_df(spark).writeTo(f"{name}_rat").using(used).create()
+    return used
+
+
+def read_mask_metadata(spark: SparkSession, name: str) -> dict:
+    """Read back the thematic metadata from TBLPROPERTIES."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    return {
+        "color_table": json.loads(props["fmask.color_table"]),
+        "class_names": json.loads(props["fmask.class_names"]),
+    }
