@@ -48,7 +48,7 @@ ctes = ",\n".join([
 spark.sql("WITH " + ctes + """
   SELECT url, cell_id, r, c, sha2(text, 256) AS text_sha256, nir, bt, nullmask, water_test, snow,
          cloud_raw, g_tlow, g_thigh, g_b4_17,
-         sun_az, sun_zen, sat_az, sat_zen
+         sun_az, sun_zen, sat_az, sat_zen, sat_az_cdn, sat_zen_cdn
   FROM pass3""").write.mode("overwrite").parquet(out)
 spark.stop()
 print("PREP_DONE")

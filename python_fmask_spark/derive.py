@@ -20,6 +20,7 @@ from .dialect import (
     DUCKDB,
     SPARK,
     cast_str,
+    hexint,
     idiv,
     jitter,
     md5_slice_int,
@@ -211,7 +212,11 @@ def sat_angle_px_exprs(d: str) -> dict[str, str]:
     y = f"(-(r + 0.5) * {yres})"
     x_max = f"({W} * {xres})"
     y_min = f"(-(cell_rows * {yres}))"
-    skew_h = md5_slice_int(_q_cell("skew"), 1, 6, d)
+    # All per-cell randomness slices ONE shared md5 (engines CSE the
+    # repeated identical md5 call, so this costs one hash per row
+    # instead of nine distinct ones; values are per-cell constants).
+    ang_hash = f"md5({_q_cell('ang')})"
+    skew_h = hexint(f"substr({ang_hash}, 1, 6)", d)
     skew = f"({_dbl(f'({skew_h} % 2000)')} + 500.0)"
     m = f"((0.0 - {y_min}) / {skew})"
     b = f"(-{m} * ({skew} + {x_max} / 2.0))"
@@ -230,21 +235,33 @@ def sat_angle_px_exprs(d: str) -> dict[str, str]:
     p = f"(({y} - {y_min}) / (0.0 - {y_min}))"
     q = f"({x} / {x_max})"
 
-    def corner(name: str, base: str, spread: int) -> str:
-        j = _dbl(f"({md5_slice_int(_q_cell(name), 1, 6, d)} % {spread})")
+    def corner(slot: int, base: str, spread: int) -> str:
+        # 4 hex chars (16 bits) per corner from the shared hash
+        h = hexint(f"substr({ang_hash}, {7 + slot * 4}, 4)", d)
+        j = _dbl(f"({h} % {spread})")
         return f"({base} + {j} / 1000.0)"
 
-    def bilinear(prefix: str, base: str, spread: int) -> str:
-        tl = corner(f"{prefix}_tl", base, spread)
-        tr = corner(f"{prefix}_tr", base, spread)
-        bl = corner(f"{prefix}_bl", base, spread)
-        br = corner(f"{prefix}_br", base, spread)
+    def bilinear(slot0: int, base: str, spread: int) -> str:
+        tl, tr, bl, br = (corner(slot0 + k, base, spread)
+                          for k in range(4))
         return (f"({tr} * {p} * {q} + {tl} * {p} * (1.0 - {q}) "
                 f"+ {br} * (1.0 - {p}) * {q} "
                 f"+ {bl} * (1.0 - {p}) * (1.0 - {q}))")
 
-    sun_az_i = bilinear("saz", "1.0", 900)   # ~1.0-1.9 rad across corners
-    sun_zen_i = bilinear("szn", "0.3", 400)  # ~0.3-0.7 rad
+    # slots 0-3 and 4-5 fit the first hash (6+8*4=38 > 32 chars — the
+    # last two szn corners slice a second shared hash)
+    sun_az_i = bilinear(0, "1.0", 900)   # ~1.0-1.9 rad across corners
+    ang_hash2 = f"md5({_q_cell('ang2')})"
+
+    def corner2(slot: int, base: str, spread: int) -> str:
+        h = hexint(f"substr({ang_hash2}, {1 + slot * 4}, 4)", d)
+        j = _dbl(f"({h} % {spread})")
+        return f"({base} + {j} / 1000.0)"
+
+    tl2, tr2, bl2, br2 = (corner2(k, "0.3", 400) for k in range(4))
+    sun_zen_i = (f"({tr2} * {p} * {q} + {tl2} * {p} * (1.0 - {q}) "
+                 f"+ {br2} * (1.0 - {p}) * {q} "
+                 f"+ {bl2} * (1.0 - {p}) * (1.0 - {q}))")
 
     def dn(expr: str) -> str:
         return f"cast({round_half_away(f'({expr} * 100.0)', d)} as int)"
