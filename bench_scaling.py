@@ -78,15 +78,19 @@ _t.tiled_neighborhood(p3.sample(0.02, seed=1), _k.majority3_buffer,
 
 params = FmaskParams()
 t0 = time.perf_counter()
-# tiled morphology (the per-tile classify+join path)
-maj = tiling.tiled_neighborhood(
-    p3, kernels.majority3_buffer, "cloud_raw", "cloudbuf", radius=1,
-    passthrough=("nullmask", "water_test", "snow"))
-maj = maj.withColumn("cloud_m", F.expr("cloudbuf AND NOT nullmask"))
-dil = tiling.tiled_neighborhood(
-    maj, lambda a: kernels.dilate(a, params.cloud_buffer_px),
-    "cloud_m", "clouddil", radius=int(params.cloud_buffer_px),
-    passthrough=("nullmask", "water_test", "snow"))
+# tiled morphology: ONE fused halo pass (majority + mask + dilation),
+# mirroring pipeline.interim_class_kernel's plan
+def fused(slabs):
+    maj = kernels.majority3_buffer(slabs["cloud_raw"])
+    cloud_m = maj & ~slabs["nullmask"]
+    return {"cloudbuf": maj, "cloud_m": cloud_m,
+            "clouddil": kernels.dilate(cloud_m, params.cloud_buffer_px)}
+dil = tiling.tiled_neighborhood_multi(
+    p3.drop("text_sha256"), fused,
+    in_cols=("cloud_raw", "nullmask"),
+    out_cols=("cloudbuf", "cloud_m", "clouddil"),
+    radius=1 + int(params.cloud_buffer_px),
+    passthrough=("water_test", "snow"))
 n_morph = dil.count()
 wall_morph = time.perf_counter() - t0
 # descriptive stats outside the timed region
@@ -96,12 +100,14 @@ stats = dil.selectExpr(
     "count(distinct concat(cell_id, '#', cast(r div 32 as string))) AS n_tiles",
 ).collect()[0]
 
-# full scene classify (shadow chain) from the same input
+# full scene classify (shadow chain) from the same input; the digest
+# passthrough is joined back JVM-side (pipeline.classify plan shape)
 t1 = time.perf_counter()
-n_out = (p3.groupBy("cell_id")
-         .applyInPandas(lambda pdf: classify_scene(pdf, params),
-                        schema=SCENE_OUT_SCHEMA)
-         .count())
+scene_out = (p3.drop("text_sha256").groupBy("cell_id")
+             .applyInPandas(lambda pdf: classify_scene(pdf, params),
+                            schema=SCENE_OUT_SCHEMA)
+             .join(p3.select("url", "text_sha256"), "url"))
+n_out = scene_out.count()
 wall_scene = time.perf_counter() - t1
 
 wall = wall_morph + wall_scene

@@ -268,66 +268,43 @@ def _bool_dilate3(mask: np.ndarray) -> np.ndarray:
 
 def hq_fill(img: np.ndarray, nullmask: np.ndarray, img2: np.ndarray,
             h_min: int, h_max: int) -> None:
-    """Hierarchical-queue reconstruction core, vectorized by level
-    (c_src/fillminima.c:270-299 with batched frontiers).
+    """Hierarchical-queue reconstruction core
+    (c_src/fillminima.c:270-299) over flat pixel indexes.
 
     ``img2`` (int64, modified in place): seed pixels < h_max, everything
-    else (incl. nulls) == h_max. Levels are processed ascending; within a
-    level, frontiers propagate in waves (4-connected) until exhausted —
-    the result is order-independent, so wave batching is exact. Each
-    pixel is touched O(1) times in NumPy batch ops instead of a Python
-    loop iteration per pixel."""
+    else (incl. nulls) == h_max. Flat-index Python-int queues: each
+    pixel is a single list append/read with no tuple boxing and no
+    NumPy scalar coercion in the inner loop — measured faster than both
+    the (r, c)-tuple queue and a per-level NumPy frontier batching
+    (whose wave count scales with raster diameter, pathological for the
+    tall narrow cell rasters the engine produces)."""
     nrows, ncols = img.shape
     n = nrows * ncols
-    img_f = img.ravel()
-    img2_f = img2.ravel()
-    null_f = nullmask.ravel()
-    visited = img2_f < h_max  # seeds; h_max pixels stay assign-once
-
-    n_levels = h_max - h_min + 1
-    buckets: list[list[np.ndarray]] = [[] for _ in range(n_levels)]
-    seeds = np.flatnonzero(visited)
-    if seeds.size:
-        lv = img2_f[seeds]
-        order = np.argsort(lv, kind="stable")
-        lv_s, seeds_s = lv[order], seeds[order]
-        cuts = np.flatnonzero(np.diff(lv_s)) + 1
-        for val, chunk in zip(
-                lv_s[np.concatenate(([0], cuts))].tolist(),
-                np.split(seeds_s, cuts)):
-            buckets[int(val) - h_min].append(chunk)
-
-    for level in range(h_min, h_max):
-        parts = buckets[level - h_min]
-        frontier = (np.concatenate(parts) if parts
-                    else np.empty(0, dtype=np.int64))
-        buckets[level - h_min] = []
-        while frontier.size:
-            c = frontier % ncols
-            nb = np.concatenate([
-                frontier[c > 0] - 1,
-                frontier[c < ncols - 1] + 1,
-                frontier[frontier >= ncols] - ncols,
-                frontier[frontier < n - ncols] + ncols,
-            ])
-            nb = nb[~(null_f[nb] | visited[nb])]
-            if nb.size == 0:
-                break
-            nb = np.unique(nb)
-            v = np.maximum(level, img_f[nb])
-            img2_f[nb] = v
-            visited[nb] = True
-            at_level = v == level
-            rest, restv = nb[~at_level], v[~at_level]
-            if rest.size:
-                order = np.argsort(restv, kind="stable")
-                rv, rs = restv[order], rest[order]
-                cuts = np.flatnonzero(np.diff(rv)) + 1
-                for val, chunk in zip(
-                        rv[np.concatenate(([0], cuts))].tolist(),
-                        np.split(rs, cuts)):
-                    buckets[int(val) - h_min].append(chunk)
-            frontier = nb[at_level]
+    imgf = img.ravel().tolist()
+    nullf = nullmask.ravel().tolist()
+    i2 = img2.ravel()
+    i2l = i2.tolist()
+    queues: list[list[int]] = [[] for _ in range(h_max - h_min + 2)]
+    for p in np.flatnonzero(i2 < h_max).tolist():
+        queues[i2l[p] - h_min].append(p)
+    for h_crt in range(h_min, h_max):
+        q = queues[h_crt - h_min]
+        qi = 0
+        while qi < len(q):
+            p = q[qi]
+            qi += 1
+            c = p % ncols
+            for pp in ((p - 1) if c > 0 else -1,
+                       (p + 1) if c < ncols - 1 else -1,
+                       p - ncols, p + ncols):
+                if 0 <= pp < n and not nullf[pp]:
+                    if i2l[pp] == h_max:
+                        v = imgf[pp]
+                        if v < h_crt:
+                            v = h_crt
+                        i2l[pp] = v
+                        queues[v - h_min].append(pp)
+    img2[:] = np.asarray(i2l, dtype=np.int64).reshape(nrows, ncols)
 
 
 def fill_minima(img: np.ndarray, nullval: int, boundaryval: float) -> np.ndarray:

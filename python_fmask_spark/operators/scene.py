@@ -129,7 +129,7 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
 
     rr = pdf["r"].to_numpy()
     cc = pdf["c"].to_numpy()
-    return pd.DataFrame({
+    res = pd.DataFrame({
         "url": pdf["url"].to_numpy(),
         "cell_id": pdf["cell_id"].to_numpy(),
         "r": rr.astype(np.int32),
@@ -138,11 +138,20 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
         "cloud_id": clumps[rr, cc].astype(np.int64),
         "cloud_height_du": cloud_shape[rr, cc].astype(np.int32),
         "cloud_base_temp_c": base_temp_img[rr, cc],
-        "text_sha256": pdf["text_sha256"].to_numpy(),
     })
+    if "text_sha256" in pdf.columns:
+        # direct (non-pipeline) callers may still pass the digest through
+        res["text_sha256"] = pdf["text_sha256"].to_numpy()
+    return res
 
 
+# The kernel's own output carries NO document digest: shipping a 64-byte
+# passthrough string through Arrow both ways is the single biggest
+# non-scaling cost of the stage (measured: ~2x the trivial-kernel
+# plumbing time at 10M rows). pipeline.classify joins text_sha256 back
+# JVM-side after the kernel.
 SCENE_OUT_SCHEMA = ("url string, cell_id string, r int, c int, "
                     "fmask_class int, cloud_id bigint, "
-                    "cloud_height_du int, cloud_base_temp_c double, "
-                    "text_sha256 string")
+                    "cloud_height_du int, cloud_base_temp_c double")
+
+SCENE_OUT_SCHEMA_WITH_SHA = SCENE_OUT_SCHEMA + ", text_sha256 string"

@@ -88,47 +88,52 @@ def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
                          params: FmaskParams | None = None) -> DataFrame:
     """Interim classification (no shadow chain) via the tiled-kernel path:
-    pass3 columns -> tiled 3x3 majority (halo 1) -> tiled circular
-    dilation (halo = buffer radius) -> precedence CASE. Matches the
+    pass3 columns -> ONE fused tile pass (3x3 majority + mask + circular
+    dilation, halo = 1 + buffer radius) -> precedence CASE. Matches the
     declarative SQL oracle bit-for-bit (driver-checked) while running the
-    morphology tile-parallel — the 100-TB plan shape."""
+    morphology tile-parallel — the 100-TB plan shape.
+
+    Plan notes: the two morphology stages are fused into a single halo
+    shuffle (tiling.tiled_neighborhood_multi) — halo grows from 1+5 to
+    6 rows while shuffle count and Arrow round trips halve; the text
+    digest is joined back JVM-side instead of riding through the Python
+    kernels (it was the largest column in the exchange)."""
     from pyspark.sql import functions as F
 
     from . import tiling
     from .operators import kernels
 
     params = params or FmaskParams()
-    # persist: with_halo unions three projections of its input — without
-    # a materialization point Spark recomputes the whole pass-1..3
-    # derivation once per branch (and 9x after the second kernel stage).
+    # persist: with_halo explodes its input — without a materialization
+    # point Spark recomputes the whole pass-1..3 derivation per consumer.
     p3 = pass3_df(spark, table).select(
         "url", "cell_id", "r", "c", "text_sha256", "nullmask",
         "water_test", "snow", "cloud_raw").localCheckpoint()
 
-    maj = tiling.tiled_neighborhood(
-        p3, kernels.majority3_buffer, "cloud_raw", "cloudbuf", radius=1,
-        passthrough=("text_sha256", "nullmask", "water_test", "snow"))
-    maj = maj.withColumn("cloud_m",
-                         F.expr("cloudbuf AND NOT nullmask"))
-
     rad = int(params.cloud_buffer_px)
 
-    def dil(a):
-        return kernels.dilate(a, params.cloud_buffer_px)
+    def fused(slabs: dict) -> dict:
+        maj = kernels.majority3_buffer(slabs["cloud_raw"])
+        cloud_m = maj & ~slabs["nullmask"]
+        dil = kernels.dilate(cloud_m, params.cloud_buffer_px)
+        return {"cloudbuf": maj, "cloud_m": cloud_m, "clouddil": dil}
 
-    dilated = tiling.tiled_neighborhood(
-        maj, dil, "cloud_m", "clouddil", radius=rad,
-        passthrough=("text_sha256", "nullmask", "water_test", "snow",
-                     "cloud_raw"))
-    return dilated.select(
+    out = tiling.tiled_neighborhood_multi(
+        p3.drop("text_sha256"), fused,
+        in_cols=("cloud_raw", "nullmask"),
+        out_cols=("cloudbuf", "cloud_m", "clouddil"),
+        radius=1 + rad,
+        passthrough=("water_test", "snow"))
+    out = out.select(
         "url", "cell_id", "r", "c", "cloud_raw", "cloud_m", "clouddil",
-        "nullmask", "water_test", "snow", "text_sha256",
+        "nullmask", "water_test", "snow",
         F.expr(f"""cast(case
             when nullmask then {0}
             when clouddil then {2}
             when snow then {4}
             when water_test then {5}
             else {1} end as int)""").alias("fmask_class"))
+    return out.join(p3.select("url", "text_sha256"), "url")
 
 
 def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
@@ -216,8 +221,13 @@ FROM pass1""")
 def classify(spark: SparkSession, table: str = "documents",
              params: FmaskParams | None = None) -> DataFrame:
     """Full classification: returns (url, cell_id, r, c, fmask_class,
-    cloud_id, text). ``table`` must be a registered view with the raw
-    documents schema."""
+    cloud_id, ..., text_sha256). ``table`` must be a registered view
+    with the raw documents schema.
+
+    Plan shape: the per-cell kernel shuffles ONLY the numeric columns
+    it needs; the 64-byte text digest (a pure passthrough invariant)
+    is joined back JVM-side afterwards — at 10M rows the digest was
+    ~half the Arrow bytes of the stage and scaled with nothing."""
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
     p3 = pass3_df(spark, table)
@@ -225,4 +235,7 @@ def classify(spark: SparkSession, table: str = "documents",
     def kernel(pdf):
         return classify_scene(pdf, params)
 
-    return p3.groupBy("cell_id").applyInPandas(kernel, schema=SCENE_OUT_SCHEMA)
+    out = (p3.drop("text_sha256")
+           .groupBy("cell_id")
+           .applyInPandas(kernel, schema=SCENE_OUT_SCHEMA))
+    return out.join(p3.select("url", "text_sha256"), "url")

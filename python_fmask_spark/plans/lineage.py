@@ -103,7 +103,8 @@ def classify_checkpointed(spark: SparkSession, table: str, workdir: str,
 
     def build_final() -> DataFrame:
         from ..operators.scene import SCENE_OUT_SCHEMA, classify_scene
-        return p3.groupBy("cell_id").applyInPandas(
+        out = p3.drop("text_sha256").groupBy("cell_id").applyInPandas(
             lambda pdf: classify_scene(pdf), schema=SCENE_OUT_SCHEMA)
+        return out.join(p3.select("url", "text_sha256"), "url")
 
     return runner.run("final_class", fp + ":pass3", build_final)
