@@ -63,6 +63,7 @@ from python_fmask_spark.operators import kernels
 from python_fmask_spark.operators.scene import (FmaskParams,
                                                 SCENE_OUT_SCHEMA,
                                                 classify_scene)
+from python_fmask_spark import constants as C
 import pyspark.sql.functions as F
 
 cpus, path = int(sys.argv[1]), sys.argv[2]
@@ -97,6 +98,8 @@ wall_morph = time.perf_counter() - t0
 stats = dil.selectExpr(
     "count(*) AS n_rows",
     "count(distinct cell_id) AS n_cells",
+    # reporting unit: 32-row tiles (stable across rounds even though the
+    # execution tile grain C.TILE_SIZE may differ)
     "count(distinct concat(cell_id, '#', cast(r div 32 as string))) AS n_tiles",
 ).collect()[0]
 
@@ -130,9 +133,13 @@ def _run(code: str, args: list[str], timeout: int = 2400,
     cmd = [sys.executable, "-c", code, *args]
     if taskset_cpus is not None:
         cmd = ["taskset", "-c", f"0-{taskset_cpus - 1}", *cmd]
+    env = dict(os.environ)
+    # local mode: executors live in the driver JVM — window sorts over
+    # 40M+ rows need real heap (the box has 125G)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(cmd,
                          capture_output=True, text=True, timeout=timeout,
-                         cwd="/root/repo")
+                         cwd="/root/repo", env=env)
     if out.returncode != 0:
         raise RuntimeError(f"subprocess failed: {out.stderr[-2000:]}")
     return out.stdout
@@ -145,6 +152,9 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=256)
     ap.add_argument("--cell-deg", type=float, default=10.0)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="runs per level; min wall is kept (the box is "
+                         "multi-tenant — min is the least-contended run)")
     ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -154,9 +164,17 @@ def main() -> None:
         _run(PREP, [args.sf, str(args.replicate), p3path, str(args.cell_deg)])
         results = {}
         for cpus in (lo, hi):
-            stdout = _run(WORKER, [str(cpus), p3path], taskset_cpus=cpus)
-            line = [ln for ln in stdout.splitlines() if ln.startswith("{")]
-            results[cpus] = json.loads(line[-1])
+            best = None
+            for _ in range(args.repeats):
+                stdout = _run(WORKER, [str(cpus), p3path],
+                              taskset_cpus=cpus)
+                line = [ln for ln in stdout.splitlines()
+                        if ln.startswith("{")]
+                run = json.loads(line[-1])
+                if best is None or run["wall_sec"] < best["wall_sec"]:
+                    best = run
+            best["n_runs"] = args.repeats
+            results[cpus] = best
 
     ratio = results[lo]["wall_sec"] / results[hi]["wall_sec"]
     eff = ratio / (hi / lo)

@@ -77,6 +77,37 @@ def test_distributed_ccl_equals_whole(spark, tile_rows):
                 assert got[(r, c)] == canon[whole[r, c]], (tile_rows, r, c)
 
 
+@pytest.mark.parametrize("tile_rows", [16, 37])
+def test_fused_multi_kernel_equals_whole(spark, tile_rows):
+    """tiled_neighborhood_multi with a composed kernel (majority then
+    dilate, halo 1+2) must equal the whole-raster composition — the
+    fused single-shuffle path of pipeline.interim_class_kernel."""
+    df, mask = _mask_df(spark, seed=31, density=0.3)
+    rng = np.random.RandomState(5)
+    nullm = rng.rand(H, W) > 0.97
+    pdf = df.toPandas()
+    pdf["nullm"] = nullm[pdf["r"].to_numpy(), pdf["c"].to_numpy()]
+    df2 = spark.createDataFrame(pdf)
+
+    def fused(slabs):
+        maj = kernels.majority3_buffer(slabs["flag"])
+        m = maj & ~slabs["nullm"]
+        return {"maj": maj, "m": m, "dil": kernels.dilate(m, 2)}
+
+    out = tiling.tiled_neighborhood_multi(
+        df2, fused, in_cols=("flag", "nullm"),
+        out_cols=("maj", "m", "dil"), radius=3,
+        tile_rows=tile_rows).collect()
+    maj_w = kernels.majority3_buffer(mask)
+    m_w = maj_w & ~nullm
+    dil_w = kernels.dilate(m_w, 2)
+    assert len(out) == H * W
+    for row in out:
+        assert row.maj == bool(maj_w[row.r, row.c]), (row.r, row.c)
+        assert row.m == bool(m_w[row.r, row.c])
+        assert row.dil == bool(dil_w[row.r, row.c]), (row.r, row.c)
+
+
 def test_distributed_ccl_multi_cell_no_label_leak(spark):
     """Regression: local_label values are cell-local, so a seam merge in
     cell A must not remap the same label value in cell B. Cell A has a
