@@ -45,7 +45,10 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "cloud_interim": oracle.q_cloud_interim,
     "fmask_interim_class": oracle.q_fmask_interim_class,
     "pass1_cell_counts_l47": oracle.q_pass1_cell_counts_l47,
-    "fmask_interim_class_s2": oracle.q_fmask_interim_class_s2,
+    # pre-04.00 product: zero offsets stated EXPLICITLY (the mandatory
+    # offset gate raises when the dict is missing, fmask/fmask.py:137-149)
+    "fmask_interim_class_s2": lambda d: oracle.q_fmask_interim_class_s2(
+        d, s2_offsets=oracle.S2_ZERO_OFFSETS),
     "fmask_interim_class_s2_offset": lambda d: oracle.q_fmask_interim_class_s2(
         d, s2_offsets=_s2_fixture_offsets()),
     # dedup family
@@ -164,7 +167,7 @@ def _s2_cdi(spark: SparkSession, sf_dir: str) -> DataFrame:
     erode + fixpoint region grow); the oracle is the recursive-CTE SQL
     form — the driver compare proves kernel == SQL."""
     register_views(spark, sf_dir)
-    return pipeline.s2_cdi_pcp(spark)
+    return pipeline.s2_cdi_pcp(spark, s2_offsets=oracle.S2_ZERO_OFFSETS)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +252,8 @@ def oracle_sql() -> dict[str, str]:
     out = {name: builder(DUCKDB) for name, builder in _SQL_QUERIES.items()}
     # kernel/UDF-path queries whose oracle is an independent SQL rendering
     out["multimodal_features"] = multimodal.q_features_oracle(DUCKDB)
-    out["s2_cdi_pcp"] = oracle.q_s2_cdi(DUCKDB)
+    out["s2_cdi_pcp"] = oracle.q_s2_cdi(
+        DUCKDB, s2_offsets=oracle.S2_ZERO_OFFSETS)
     # Shadow-chain oracles: frozen parquet fixtures computed by an
     # independent replay (DuckDB-dialect pass-1..3 SQL + whole-scene
     # NumPy kernels; scripts/make_shadow_fixture.py). The Spark side

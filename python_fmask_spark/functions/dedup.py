@@ -178,6 +178,11 @@ def q_simhash_pairs(d: str, max_hamming: int = 3) -> str:
     XOR + popcount over the four bands. The plan is linear in docs +
     candidates at any scale."""
     from ..dialect import xor_int
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"pigeonhole candidate generation is complete only for "
+            f"max_hamming <= SIMHASH_BANDS - 1 = {SIMHASH_BANDS - 1}; "
+            f"got {max_hamming} (raise SIMHASH_BANDS to widen)")
     ham = " + ".join(
         f"bit_count({xor_int(f'a.fp{i}', f'b.fp{i}', d)})" for i in range(4))
     return f"""
@@ -194,25 +199,41 @@ JOIN fp b ON b.url = c.url_b
 WHERE {ham} <= {max_hamming}"""
 
 
-def q_ngram_jaccard_pairs(d: str, threshold: float = 0.6) -> str:
-    """Exact n-gram Jaccard over MinHash-LSH candidate pairs — the
-    standard candidate-generation + verification pipeline.
+def q_ngram_jaccard_pairs(d: str, threshold: float = 0.6,
+                          exact: bool = False) -> str:
+    """n-gram Jaccard pairs: by default over MinHash-LSH candidates —
+    the standard candidate-generation + verification pipeline — or, with
+    ``exact=True``, over ALL pairs sharing at least one shingle (the
+    exhaustive form; oracle/test scale only).
 
-    Scale plan: NO shingle self-join (a shingle shared by k docs would
-    produce k^2 rows; hot 5-grams make that quadratic). Candidates come
-    from the banded minhash equi-join (linear in docs + candidates);
-    the exact intersection is then computed per candidate pair only, by
-    joining each side's shingle set through the candidate list. Recall
-    is the LSH band recall (1 for exact dups, whose signatures are
-    identical in every band); precision is exact (verified Jaccard)."""
+    The approximate-recall contract is explicit: default recall is the
+    LSH band recall (1 for exact dups, whose signatures are identical in
+    every band); precision is exact (verified Jaccard). ``exact=True``
+    restores the exhaustive pair set at the cost of the shingle
+    self-join (a shingle shared by k docs produces k^2 rows — hot
+    5-grams make that quadratic, unusable at web scale).
+
+    Scale plan (default): NO shingle self-join. Candidates come from the
+    banded minhash equi-join (linear in docs + candidates); the exact
+    intersection is then computed per candidate pair only, by joining
+    each side's shingle set through the candidate list."""
     ctes = _minhash_cte_spark() if d == SPARK else _minhash_cte(d)
-    return f"""
-WITH {ctes},
+    if exact:
+        cand = """
+cand_pairs AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.url < b.url
+)""".strip()
+    else:
+        cand = """
 cand_pairs AS (
   SELECT DISTINCT a.url AS url_a, b.url AS url_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.url < b.url
-),
+)""".strip()
+    return f"""
+WITH {ctes},
+{cand},
 sizes AS (
   SELECT url, count(*) AS n FROM shingles GROUP BY url
 ),

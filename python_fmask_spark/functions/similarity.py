@@ -111,24 +111,42 @@ vbands AS (
 )""".strip()
 
 
-def q_embedding_near_dup(d: str, threshold: float = 0.45) -> str:
+def q_embedding_near_dup(d: str, threshold: float = 0.45,
+                         exact: bool = False) -> str:
     """Embedding-cosine near-duplicate pairs via banded LSH candidates +
     exact re-rank — the candidate-generation + verification pipeline.
+    ``exact=True`` restores the exhaustive all-pairs candidate set
+    (oracle/test scale only; quadratic in vectors).
 
-    Scale plan: NO all-pairs dot-product join. Candidates come from the
-    banded hyperplane-sign equi-join on (band, band value) — linear in
-    vectors + candidates; the exact integer dot product and cosine
-    threshold then run per candidate pair only. Precision is exact;
-    recall is the banded-LSH collision probability (for cos >= 0.45,
-    ~0.9 with 4 bands x 2 planes; raise NEARDUP_BANDS for more)."""
-    return f"""
-WITH {_intvec_cte(d)},
-{_bands_cte(d)},
+    The approximate-recall contract is explicit: precision is exact;
+    default recall is the banded-LSH collision probability (for
+    cos >= 0.45, ~0.9 with 4 bands x 2 planes; raise NEARDUP_BANDS for
+    more).
+
+    Scale plan (default): NO all-pairs dot-product join. Candidates come
+    from the banded hyperplane-sign equi-join on (band, band value) —
+    linear in vectors + candidates; the exact integer dot product and
+    cosine threshold then run per candidate pair only."""
+    if exact:
+        bands = ""
+        cand = """
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM (SELECT DISTINCT vec_id FROM iv) a
+  JOIN (SELECT DISTINCT vec_id FROM iv) b ON a.vec_id < b.vec_id
+),""".strip()
+    else:
+        bands = f"{_bands_cte(d)},"
+        cand = """
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM vbands a JOIN vbands b
     ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
-),
+),""".strip()
+    return f"""
+WITH {_intvec_cte(d)},
+{bands}
+{cand}
 norms AS (
   SELECT vec_id, sum(v * v) AS nrm FROM iv GROUP BY vec_id
 ),

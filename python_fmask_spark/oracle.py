@@ -157,12 +157,21 @@ def q_s2_cdi(d: str, s2_offsets: dict[str, int] | None = None) -> str:
     restricted to the grown selection before the cirrus/saturation OR.
 
     The Spark side runs the tiled kernel path (pipeline.s2_cdi_pcp);
-    this SQL form is the independent oracle."""
+    this SQL form is the independent oracle.
+
+    Assumes every cell has >= 4 rows (reflect window radius 3): the
+    single-level reflect index below mirrors np.pad 'reflect' only when
+    one reflection lands in range. A shorter cell would re-reflect out
+    of range, the LEFT JOIN row would be NULL, and sum()/49 would
+    silently average fewer than 49 terms — diverging from the kernel's
+    multi-reflect np.pad. The synthetic layout guarantees cells of
+    SCENE_WIDTH-row-major shape with >= 4 rows at every tested sf."""
     if d == SPARK:
         raise NotImplementedError(
             "Spark runs the kernel path (pipeline.s2_cdi_pcp); the SQL "
             "rendering is the DuckDB oracle only")
-    offs = s2_offsets or S2_ZERO_OFFSETS
+    from .sen2meta import require_s2_offsets
+    offs = require_s2_offsets(s2_offsets)
     ctes = _ctes(d, "pass1", sensor="SENTINEL2", s2_offsets=offs)
     body = ctes[len("WITH "):]
     ref8a = derive._ref("nir8a", offs.get("nir8a", 0))
@@ -257,8 +266,9 @@ def q_fmask_interim_class_s2(d: str,
     radiometric offsets (parsed from the product XML via
     sen2meta.Sen2ZipfileMeta at the call site)."""
     from . import constants as C
+    from .sen2meta import require_s2_offsets
     ctes = _ctes(d, "majority", sensor="SENTINEL2",
-                 s2_offsets=s2_offsets or S2_ZERO_OFFSETS)
+                 s2_offsets=require_s2_offsets(s2_offsets))
     return f"""{ctes}
 SELECT url, cell_id, r, c,
   cast(case

@@ -156,8 +156,14 @@ def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
     from . import oracle
     from .operators import kernels
 
+    from .sen2meta import require_s2_offsets
+
     ensure_package_on_executors(spark)
-    offs = s2_offsets or oracle.S2_ZERO_OFFSETS
+    # Mandatory-offset gate (fmask/fmask.py:137-149): a missing dict is an
+    # error, not a silent zero-offset substitution. Pre-04.00 products pass
+    # oracle.S2_ZERO_OFFSETS EXPLICITLY; an empty dict is likewise treated
+    # as an explicit statement (require checks `is None`, not falsiness).
+    offs = require_s2_offsets(s2_offsets)
     ctes = ",\n".join([
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
         derive.pass1_sql(SPARK, sensor="SENTINEL2", s2_offsets=offs),

@@ -61,29 +61,57 @@ def write_mask(df: DataFrame, name: str,
         "fmask.color_table": json.dumps(COLOR_TABLE),
         "fmask.class_names": json.dumps(CLASS_NAMES),
     }
+    staging = f"{name}__staging"
 
     def attempt(provider: str) -> None:
         from pyspark.sql import functions as F
-        # drop-then-create instead of createOrReplace: the V1 session
-        # catalog (the parquet fallback) does not support RTAS; Iceberg
-        # catalogs accept either.
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        w = df.writeTo(name).using(provider).partitionedBy(
+        # Atomic-ish replace without RTAS (the V1 session catalog — the
+        # parquet fallback — has no createOrReplace): create under a
+        # staging name first, and only drop + rename once the create has
+        # SUCCEEDED — a failed create leaves the previous table intact.
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        w = df.writeTo(staging).using(provider).partitionedBy(
             F.col(partition_col))
         for k, v in props.items():
             w = w.tableProperty(k, v)
         w.create()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+        try:
+            # The V1 catalog drops the partition registry on rename;
+            # recover it. Iceberg/unpartitioned providers don't need (or
+            # support) MSCK — ignore.
+            spark.sql(f"MSCK REPAIR TABLE {name}")
+        except Exception:
+            pass
+
+    def is_provider_missing(e: Exception) -> bool:
+        # Only the "Iceberg isn't installed in this session" error class
+        # downgrades; genuine Iceberg misconfiguration (bad catalog conf,
+        # permission, schema errors) propagates.
+        msg = str(e).lower()
+        return any(s in msg for s in (
+            "failed to find data source", "cannot find catalog",
+            "catalog plugin", "classnotfound", "not a valid spark sql"
+            " data source", "unsupported data source type"))
 
     try:
         attempt(used)
-    except Exception:
-        if fmt is not None:
+    except Exception as e:
+        if fmt is not None or not is_provider_missing(e):
             raise
+        import warnings
+        warnings.warn(
+            f"write_mask: provider 'iceberg' unavailable in this session "
+            f"({e}); downgrading to the session catalog's parquet "
+            f"provider", RuntimeWarning, stacklevel=2)
         used = "parquet"
         attempt(used)
 
+    spark.sql(f"DROP TABLE IF EXISTS {name}_rat__staging")
+    class_rat_df(spark).writeTo(f"{name}_rat__staging").using(used).create()
     spark.sql(f"DROP TABLE IF EXISTS {name}_rat")
-    class_rat_df(spark).writeTo(f"{name}_rat").using(used).create()
+    spark.sql(f"ALTER TABLE {name}_rat__staging RENAME TO {name}_rat")
     return used
 
 
