@@ -192,76 +192,118 @@ def angle_exprs(d: str) -> dict[str, str]:
     }
 
 
+def sat_angle_dim_sql(d: str) -> str:
+    """Per-CELL angle-geometry dim CTE chain (``ang_dim`` over ``geo2``):
+    nadir-line slope/intercept, local earth radius, and the 8 bilinear
+    extent-corner sun values (makeAngles, fmask/landsatangles.py:347-382;
+    localRadius :198-216). These are per-cell CONSTANTS — computing them
+    per pixel (as round 2 did) spent 2 md5 hashes + corner hex parses on
+    every row and inflated every downstream Catalyst plan; here each
+    md5 runs once per CELL and the per-pixel side (sat_angle_px_exprs)
+    is pure bilinear/atan arithmetic over broadcast-joined scalars.
+
+    The dim aggregates ``geo2`` (docs scan pruned to the cell-id
+    columns); ``ad_rows`` re-derives the raster height arithmetically
+    from the row count — identical to feat3's ``max(r)+1`` because the
+    layout is row-major at fixed width."""
+    W = C.SCENE_WIDTH
+    xres, yres = C.X_RES, C.Y_RES
+    x_max = f"({W} * {xres})"
+    rows = f"(cast({idiv('(n_cell - 1)', str(W), d)} as int) + 1)"
+    skew_h = hexint("substr(ah, 1, 6)", d)
+    skew = f"({_dbl(f'({skew_h} % 2000)')} + 500.0)"
+    y_min = f"(-(ad_rows * {yres}))"
+    m = f"((0.0 - {y_min}) / ad_skew)"
+    # local earth radius of curvature at the cell-centre latitude
+    # (localRadius, fmask/landsatangles.py:198-216); WGS84 constants
+    lat_ctr = f"radians((cell_y + 0.5) * {C.CELL_DEG} - 90.0)"
+    e2 = 2 * (1 / 298.257223563) - (1 / 298.257223563) ** 2
+
+    def corner(slot: int, base: str, spread: int) -> str:
+        # 4 hex chars (16 bits) per corner; slots 0-3 (sun az) slice ah
+        # after the 6 skew chars, slots for sun zen slice ah2 (6+8*4=38
+        # > 32 chars would overflow a single md5)
+        h = hexint(f"substr(ah, {7 + slot * 4}, 4)", d)
+        return f"({base} + {_dbl(f'({h} % {spread})')} / 1000.0)"
+
+    def corner2(slot: int, base: str, spread: int) -> str:
+        h = hexint(f"substr(ah2, {1 + slot * 4}, 4)", d)
+        return f"({base} + {_dbl(f'({h} % {spread})')} / 1000.0)"
+
+    az_corners = ", ".join(
+        f"{corner(k, '1.0', 900)} AS ad_a{k}" for k in range(4))
+    zen_corners = ", ".join(
+        f"{corner2(k, '0.3', 400)} AS ad_z{k}" for k in range(4))
+    return f"""
+angd0 AS (
+  SELECT cell_id, cell_y, count(*) AS n_cell
+  FROM geo2 GROUP BY cell_id, cell_y
+),
+angd1 AS (
+  SELECT cell_id, cell_y, {rows} AS ad_rows,
+    md5({_q_cell('ang')}) AS ah, md5({_q_cell('ang2')}) AS ah2
+  FROM angd0
+),
+angd2 AS (
+  SELECT *, {skew} AS ad_skew, {az_corners}, {zen_corners},
+    (6378137.0 / sqrt(1.0 - {e2} * sin({lat_ctr}) * sin({lat_ctr})))
+      AS ad_rloc
+  FROM angd1
+),
+angd3 AS (
+  SELECT *, {y_min} AS ad_ymin, {m} AS ad_m
+  FROM angd2
+),
+ang_dim AS (
+  SELECT cell_id, ad_rloc, ad_ymin, ad_m,
+    (-ad_m * (ad_skew + {x_max} / 2.0)) AS ad_b,
+    sqrt(ad_m * ad_m + 1.0) AS ad_den,
+    ({PI_LIT} / 2.0 - atan(-1.0 / ad_m)) AS ad_azl,
+    (0.0 - ad_ymin) AS ad_ynorm,
+    ad_a0, ad_a1, ad_a2, ad_a3, ad_z0, ad_z1, ad_z2, ad_z3
+  FROM angd3
+)""".strip()
+
+
 def sat_angle_px_exprs(d: str) -> dict[str, str]:
     """Per-pixel satellite view angles from nadir-line geometry
     (makeAngles, fmask/landsatangles.py:347-382) plus bilinear
     corner-interpolated sun angles (bilinearInterp,
     fmask/landsatangles.py:385-400), as column exprs over
-    (cell_id, cell_y, r, c, cell_rows).
+    (r, c) joined to the per-cell ``ang_dim`` scalars (ad_*).
 
     The swathe is synthesized per cell: raster-extent corners sheared by
     a deterministic md5-derived skew (a descending-pass nadir line is
     never axis-parallel). Outputs are the reference's DN form —
     round(radians * 100) int16 (radianScale, landsatangles.py:369) —
     which also quantizes away cross-engine trig ulp noise.
-    """
-    W = C.SCENE_WIDTH
+
+    Formula structure is kept IDENTICAL to the round-2 inline form (the
+    shadow fixture and sat_angles oracle values are bit-stable): only
+    where a subexpression's inputs are all per-cell does it move into
+    ang_dim."""
     xres, yres = C.X_RES, C.Y_RES
+    W = C.SCENE_WIDTH
+    x_max = f"({W} * {xres})"
     # pixel-centre map coords; y axis points up (north), rows go down
     x = f"((c + 0.5) * {xres})"
     y = f"(-(r + 0.5) * {yres})"
-    x_max = f"({W} * {xres})"
-    y_min = f"(-(cell_rows * {yres}))"
-    # All per-cell randomness slices ONE shared md5 (engines CSE the
-    # repeated identical md5 call, so this costs one hash per row
-    # instead of nine distinct ones; values are per-cell constants).
-    ang_hash = f"md5({_q_cell('ang')})"
-    skew_h = hexint(f"substr({ang_hash}, 1, 6)", d)
-    skew = f"({_dbl(f'({skew_h} % 2000)')} + 500.0)"
-    m = f"((0.0 - {y_min}) / {skew})"
-    b = f"(-{m} * ({skew} + {x_max} / 2.0))"
-    dist = f"(abs({m} * {x} - {y} + {b}) / sqrt({m} * {m} + 1.0))"
-    # local earth radius of curvature at the cell-centre latitude
-    # (localRadius, fmask/landsatangles.py:198-216); WGS84 constants
-    lat_ctr = f"radians((cell_y + 0.5) * {C.CELL_DEG} - 90.0)"
-    e2 = 2 * (1 / 298.257223563) - (1 / 298.257223563) ** 2
-    R = f"(6378137.0 / sqrt(1.0 - {e2} * sin({lat_ctr}) * sin({lat_ctr})))"
-    sat_zen = f"(atan({dist} / 705000.0) + atan({dist} / {R}))"
-    is_left = f"(({y} - ({m} * {x} + {b})) > 0)"
-    az_left = f"({PI_LIT} / 2.0 - atan(-1.0 / {m}))"
-    sat_az = f"(case when {is_left} then {az_left} else {az_left} - {PI_LIT} end)"
+    dist = f"(abs(ad_m * {x} - {y} + ad_b) / ad_den)"
+    sat_zen = f"(atan({dist} / 705000.0) + atan({dist} / ad_rloc))"
+    is_left = f"(({y} - (ad_m * {x} + ad_b)) > 0)"
+    sat_az = f"(case when {is_left} then ad_azl else ad_azl - {PI_LIT} end)"
 
-    # bilinear sun interpolation from 4 md5-derived extent-corner values
-    p = f"(({y} - {y_min}) / (0.0 - {y_min}))"
+    # bilinear sun interpolation from the 4 md5-derived extent corners
+    p = f"(({y} - ad_ymin) / ad_ynorm)"
     q = f"({x} / {x_max})"
 
-    def corner(slot: int, base: str, spread: int) -> str:
-        # 4 hex chars (16 bits) per corner from the shared hash
-        h = hexint(f"substr({ang_hash}, {7 + slot * 4}, 4)", d)
-        j = _dbl(f"({h} % {spread})")
-        return f"({base} + {j} / 1000.0)"
-
-    def bilinear(slot0: int, base: str, spread: int) -> str:
-        tl, tr, bl, br = (corner(slot0 + k, base, spread)
-                          for k in range(4))
+    def bilinear(tl: str, tr: str, bl: str, br: str) -> str:
         return (f"({tr} * {p} * {q} + {tl} * {p} * (1.0 - {q}) "
                 f"+ {br} * (1.0 - {p}) * {q} "
                 f"+ {bl} * (1.0 - {p}) * (1.0 - {q}))")
 
-    # slots 0-3 and 4-5 fit the first hash (6+8*4=38 > 32 chars — the
-    # last two szn corners slice a second shared hash)
-    sun_az_i = bilinear(0, "1.0", 900)   # ~1.0-1.9 rad across corners
-    ang_hash2 = f"md5({_q_cell('ang2')})"
-
-    def corner2(slot: int, base: str, spread: int) -> str:
-        h = hexint(f"substr({ang_hash2}, {1 + slot * 4}, 4)", d)
-        j = _dbl(f"({h} % {spread})")
-        return f"({base} + {j} / 1000.0)"
-
-    tl2, tr2, bl2, br2 = (corner2(k, "0.3", 400) for k in range(4))
-    sun_zen_i = (f"({tr2} * {p} * {q} + {tl2} * {p} * (1.0 - {q}) "
-                 f"+ {br2} * (1.0 - {p}) * {q} "
-                 f"+ {bl2} * (1.0 - {p}) * (1.0 - {q}))")
+    sun_az_i = bilinear("ad_a0", "ad_a1", "ad_a2", "ad_a3")
+    sun_zen_i = bilinear("ad_z0", "ad_z1", "ad_z2", "ad_z3")
 
     def dn(expr: str) -> str:
         return f"cast({round_half_away(f'({expr} * 100.0)', d)} as int)"
@@ -291,7 +333,8 @@ def round_half_away(expr: str, d: str) -> str:
 
 
 def features_sql(d: str, docs_sql: str, layout: bool = True,
-                 cell_deg: float | None = None) -> str:
+                 cell_deg: float | None = None,
+                 angles: bool = True) -> str:
     """Full doc_features derivation as a CTE chain over documents_wide.
 
     Pixel layout: within each cell, documents are laid out row-major in
@@ -301,7 +344,13 @@ def features_sql(d: str, docs_sql: str, layout: bool = True,
 
     ``layout=False`` skips the row_number pixel layout (needed for
     Structured Streaming, where non-time window functions are
-    unsupported; the pass-1 predicates are per-document anyway)."""
+    unsupported; the pass-1 predicates are per-document anyway).
+
+    ``angles=False`` skips the per-pixel angle-DN columns AND the
+    ang_dim broadcast join that feeds them. The join is structural (an
+    inner join can't be pruned by Catalyst even when no angle column is
+    selected), so only consumers of sat/sun DN columns — the scene
+    kernel path and q_sat_angles — should pay for it."""
     geo = geo_exprs(d, cell_deg=cell_deg)
     bands = band_exprs(d)
     ang = angle_exprs(d)
@@ -316,9 +365,7 @@ def features_sql(d: str, docs_sql: str, layout: bool = True,
     ang_sel = ", ".join(f"{e} AS {n}" for n, e in ang.items())
 
     if layout:
-        satsel = ", ".join(f"{e} AS {n}"
-                           for n, e in sat_angle_px_exprs(d).items())
-        tail = f"""
+        layout_ctes = f"""
 feat1 AS (
   SELECT *,
     (row_number() OVER (PARTITION BY cell_id ORDER BY url) - 1) AS idx
@@ -333,10 +380,24 @@ feat2 AS (
 feat3 AS (
   SELECT *, max(r) OVER (PARTITION BY cell_id) + 1 AS cell_rows
   FROM feat2
-),
+)"""
+        if angles:
+            satsel = ", ".join(f"{e} AS {n}"
+                               for n, e in sat_angle_px_exprs(d).items())
+            # ang_dim is ~1 row per cell: Spark broadcast-joins it back
+            # (hint below; DuckDB treats the hint as a comment), so the
+            # per-pixel side pays no shuffle and no md5 for the angles.
+            hint = "/*+ BROADCAST(ad) */ " if d == SPARK else ""
+            tail = f"""{layout_ctes},
+{sat_angle_dim_sql(d)},
 features AS (
-  SELECT *, {satsel}
-  FROM feat3
+  SELECT {hint}f.*, {satsel}
+  FROM feat3 f JOIN ang_dim ad ON ad.cell_id = f.cell_id
+)"""
+        else:
+            tail = f"""{layout_ctes},
+features AS (
+  SELECT * FROM feat3
 )"""
     else:
         tail = """

@@ -15,7 +15,8 @@ PI = "3.141592653589793"
 
 
 def q_sun_angles(d: str) -> str:
-    feats = features_sql(d, documents_wide_sql(d, "documents"))
+    feats = features_sql(d, documents_wide_sql(d, "documents"),
+                         angles=False)
     # julian day proportion & GMT decimal hour from warc_ts.
     # cast int parts to double BEFORE division: Spark's int/decimal
     # division is scale-limited DECIMAL, not IEEE double.

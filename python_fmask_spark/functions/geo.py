@@ -82,7 +82,8 @@ def q_point_in_polygon(d: str) -> str:
     join changes nothing in the output while cutting the per-doc edge
     work to the overlapping polygons only. The bbox table is tiny and
     broadcast."""
-    feats = features_sql(d, documents_wide_sql(d, "documents"))
+    feats = features_sql(d, documents_wide_sql(d, "documents"),
+                         angles=False)
     crossing = ("(case when ((e.y1 > c.lat) <> (e.y2 > c.lat)) and "
                 "c.lon < (e.x2 - e.x1) * (c.lat - e.y1) / (e.y2 - e.y1) + e.x1 "
                 "then 1 else 0 end)")
@@ -118,7 +119,8 @@ def q_knn_tile_neighbor(d: str) -> str:
     cells, then candidates come from an EQUI-join on (cell_x, cell_y) —
     a hash/broadcast join keyed on the cell grid, never a
     broadcast-nested-loop scan of the corpus per query."""
-    feats = features_sql(d, documents_wide_sql(d, "documents"))
+    feats = features_sql(d, documents_wide_sql(d, "documents"),
+                         angles=False)
     cast_str = "string" if d == "spark" else "varchar"
     qid_s = f"cast(qid as {cast_str})"
 

@@ -14,7 +14,8 @@ from ..derive import documents_wide_sql, features_sql
 
 
 def _feats(d: str) -> str:
-    return features_sql(d, documents_wide_sql(d, "documents"))
+    return features_sql(d, documents_wide_sql(d, "documents"),
+                        angles=False)
 
 
 def q_zero_band_check(d: str) -> str:

@@ -17,8 +17,14 @@ from .dialect import DUCKDB, SPARK
 
 def _ctes(d: str, upto: str, table: str = "documents",
           sensor: str = "LANDSAT8",
-          s2_offsets: dict[str, int] | None = None) -> str:
-    parts = [derive.features_sql(d, derive.documents_wide_sql(d, table))]
+          s2_offsets: dict[str, int] | None = None,
+          angles: bool = False) -> str:
+    # angles=False by default: none of the SQL-shaped oracle queries
+    # read the per-pixel angle DN columns, and the ang_dim join that
+    # feeds them is structural (unprunable). The kernel-path fixture
+    # replay (scripts/make_shadow_fixture.py) passes angles=True.
+    parts = [derive.features_sql(d, derive.documents_wide_sql(d, table),
+                                 angles=angles)]
     order = ["pass1", "thresholds", "pass2", "pass3", "majority"]
     builders = {
         "pass1": lambda d: derive.pass1_sql(d, sensor=sensor,

@@ -23,15 +23,24 @@ from .session import ensure_package_on_executors
 
 # Columns the scene kernel needs (everything else is pruned before the
 # shuffle — keep the exchanged bytes minimal).
-# text itself is NOT shuffled through the kernels — its sha256 is
-# computed JVM-side before the exchange (byte-identity travels as a
-# 64-char digest instead of the full document body).
-_KERNEL_COLS = ("url", "cell_id", "r", "c",
-                "sha2(text, 256) AS text_sha256", "nir", "bt",
+# text (and its sha256 digest) is NOT shuffled through the kernels —
+# the digest is joined back afterwards from the materialized pass-1
+# stage table (see text_digests), so byte-identity never rides the
+# Arrow exchange at all.
+_KERNEL_COLS = ("url", "cell_id", "r", "c", "nir", "bt",
                 "nullmask", "water_test", "snow", "cloud_raw",
                 "g_tlow", "g_thigh", "g_b4_17",
                 "sun_az", "sun_zen", "sat_az", "sat_zen",
                 "sat_az_cdn", "sat_zen_cdn")
+
+
+def text_digests(spark: SparkSession, table: str = "documents") -> DataFrame:
+    """(url, text_sha256) — the byte-identity invariant, computed from
+    the materialized pass-1 stage table (a LogicalRDD leaf), NOT by
+    re-running the threshold/pass2/pass3 tail a second time."""
+    view = materialize_pass1(spark, table)
+    return spark.sql(
+        f"SELECT url, sha2(text, 256) AS text_sha256 FROM {view}")
 
 
 def pass3_sql(table: str = "documents") -> str:
@@ -46,7 +55,28 @@ def pass3_sql(table: str = "documents") -> str:
     return f"WITH {ctes} SELECT {cols} FROM pass3"
 
 
-def materialize_pass1(spark: SparkSession, table: str = "documents") -> str:
+# (session id, table) -> materialized view name. The pass-1 stage table
+# is immutable for a given registered input, so every query in a session
+# shares ONE materialization (the reference's temp-raster reuse,
+# fmask/fmask.py:206-216); sources.register_views invalidates it when
+# the underlying input changes.
+_PASS1_CACHE: dict[tuple[int, str], str] = {}
+
+
+def invalidate_pass1_cache(spark: SparkSession) -> None:
+    """Drop this session's materialized pass-1 views (called when the
+    registered input tables change underneath them)."""
+    sid = id(spark)
+    for key in [k for k in _PASS1_CACHE if k[0] == sid]:
+        view = _PASS1_CACHE.pop(key)
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
+
+
+def materialize_pass1(spark: SparkSession, table: str = "documents",
+                      reuse: bool = True) -> str:
     """Materialize pass 1 behind a leaf view and return the view name.
 
     Catalyst inlines deterministic CTEs per reference; the thresholds +
@@ -55,14 +85,24 @@ def materialize_pass1(spark: SparkSession, table: str = "documents") -> str:
     localCheckpoint truncates the lineage to a LogicalRDD leaf — the
     reference's own inter-pass temp-raster pattern
     (fmask/fmask.py:206-216 / SURVEY S12) — making every downstream plan
-    small and linear to optimize."""
+    small and linear to optimize.
+
+    ``reuse=True`` returns the session's existing materialization when
+    the registered input hasn't changed (register_views invalidates on
+    change): the interim/classify/threshold queries all branch from the
+    same stage table instead of re-deriving pass 1 per query."""
     view = f"_pass1_mat_{table}"
+    key = (id(spark), table)
+    if reuse and _PASS1_CACHE.get(key) == view \
+            and spark.catalog.tableExists(view):
+        return view
     p1_ctes = ",\n".join([
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
         derive.pass1_sql(SPARK),
     ])
     p1 = spark.sql(f"WITH {p1_ctes} SELECT * FROM pass1").localCheckpoint()
     p1.createOrReplaceTempView(view)
+    _PASS1_CACHE[key] = view
     return view
 
 
@@ -107,7 +147,7 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
     # persist: with_halo explodes its input — without a materialization
     # point Spark recomputes the whole pass-1..3 derivation per consumer.
     p3 = pass3_df(spark, table).select(
-        "url", "cell_id", "r", "c", "text_sha256", "nullmask",
+        "url", "cell_id", "r", "c", "nullmask",
         "water_test", "snow", "cloud_raw").localCheckpoint()
 
     rad = int(params.cloud_buffer_px)
@@ -119,7 +159,7 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
         return {"cloudbuf": maj, "cloud_m": cloud_m, "clouddil": dil}
 
     out = tiling.tiled_neighborhood_multi(
-        p3.drop("text_sha256"), fused,
+        p3, fused,
         in_cols=("cloud_raw", "nullmask"),
         out_cols=("cloudbuf", "cloud_m", "clouddil"),
         radius=1 + rad,
@@ -133,7 +173,7 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
             when snow then {4}
             when water_test then {5}
             else {1} end as int)""").alias("fmask_class"))
-    return out.join(p3.select("url", "text_sha256"), "url")
+    return out.join(text_digests(spark, table), "url")
 
 
 def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
@@ -165,7 +205,8 @@ def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
     # as an explicit statement (require checks `is None`, not falsiness).
     offs = require_s2_offsets(s2_offsets)
     ctes = ",\n".join([
-        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
+        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table),
+                            angles=False),
         derive.pass1_sql(SPARK, sensor="SENTINEL2", s2_offsets=offs),
     ])
     ref8a = derive._ref("nir8a", offs.get("nir8a", 0))
@@ -233,7 +274,9 @@ def classify(spark: SparkSession, table: str = "documents",
     Plan shape: the per-cell kernel shuffles ONLY the numeric columns
     it needs; the 64-byte text digest (a pure passthrough invariant)
     is joined back JVM-side afterwards — at 10M rows the digest was
-    ~half the Arrow bytes of the stage and scaled with nothing."""
+    ~half the Arrow bytes of the stage and scaled with nothing. The
+    digest side reads the materialized pass-1 leaf (text_digests), so
+    the threshold/pass2/pass3 tail runs exactly once."""
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
     p3 = pass3_df(spark, table)
@@ -241,7 +284,6 @@ def classify(spark: SparkSession, table: str = "documents",
     def kernel(pdf):
         return classify_scene(pdf, params)
 
-    out = (p3.drop("text_sha256")
-           .groupBy("cell_id")
+    out = (p3.groupBy("cell_id")
            .applyInPandas(kernel, schema=SCENE_OUT_SCHEMA))
-    return out.join(p3.select("url", "text_sha256"), "url")
+    return out.join(text_digests(spark, table), "url")

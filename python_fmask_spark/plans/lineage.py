@@ -99,7 +99,15 @@ def classify_checkpointed(spark: SparkSession, table: str, workdir: str,
 
     runner = StageRunner(spark, workdir, run_id)
     fp = f"{table}:v1"
-    p3 = runner.run("pass3", fp, lambda: pipeline.pass3_df(spark, table))
+
+    def build_p3() -> DataFrame:
+        # The stage table carries the text digest so a resumed run never
+        # re-derives pass 1 just for byte-identity; both branches below
+        # read the same materialized pass-1 leaf (no tail recompute).
+        return (pipeline.pass3_df(spark, table)
+                .join(pipeline.text_digests(spark, table), "url"))
+
+    p3 = runner.run("pass3", fp, build_p3)
 
     def build_final() -> DataFrame:
         from ..operators.scene import SCENE_OUT_SCHEMA, classify_scene

@@ -24,8 +24,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# session id -> identity of the last-registered input (sf_dir or a
+# replicate tag); a change invalidates the session's pass-1 stage cache.
+_REGISTERED: dict[int, str] = {}
+
+
+def _note_input_change(spark: SparkSession, identity: str) -> None:
+    if _REGISTERED.get(id(spark)) != identity:
+        from .pipeline import invalidate_pass1_cache
+        invalidate_pass1_cache(spark)
+        _REGISTERED[id(spark)] = identity
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = TABLES) -> None:
+    _note_input_change(spark, sf_dir)
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
@@ -42,6 +55,7 @@ def load_documents_wide(spark: SparkSession, sf_dir: str,
     each copy gets a distinct domain suffix (spreading cells) and url.
     """
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _note_input_change(spark, f"{sf_dir}!rep{replicate}")
     if replicate == 1:
         return spark.sql(documents_wide_sql(SPARK, "documents"))
     rep = spark.sql(

@@ -45,7 +45,7 @@ KERNEL_COLS = ("url, cell_id, r, c, sha256(text) AS text_sha256, nir, bt, "
 
 
 def pass3_duckdb(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
-    ctes = oracle._ctes(DUCKDB, "pass3")
+    ctes = oracle._ctes(DUCKDB, "pass3", angles=True)
     return con.execute(f"{ctes} SELECT {KERNEL_COLS} FROM pass3").df()
 
 
