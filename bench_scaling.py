@@ -55,8 +55,10 @@ print("PREP_DONE")
 '''
 
 WORKER = r'''
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, "/root/repo")
+if len(sys.argv) > 3 and sys.argv[3]:
+    os.environ["SPARK_GRAFT_EVENTLOG"] = sys.argv[3]
 from python_fmask_spark.session import get_spark
 from python_fmask_spark import tiling
 from python_fmask_spark.operators import kernels
@@ -78,6 +80,7 @@ _t.tiled_neighborhood(p3.sample(0.02, seed=1), _k.majority3_buffer,
                       "cloud_raw", "w", radius=1).count()
 
 params = FmaskParams()
+spark.sparkContext.setJobGroup("morph", "tiled morphology")
 t0 = time.perf_counter()
 # tiled morphology: ONE fused halo pass (majority + mask + dilation),
 # mirroring pipeline.interim_class_kernel's plan
@@ -105,6 +108,7 @@ stats = dil.selectExpr(
 
 # full scene classify (shadow chain) from the same input; the digest
 # passthrough is joined back JVM-side (pipeline.classify plan shape)
+spark.sparkContext.setJobGroup("scene", "scene classify")
 t1 = time.perf_counter()
 scene_out = (p3.drop("text_sha256").groupBy("cell_id")
              .applyInPandas(lambda pdf: classify_scene(pdf, params),
@@ -121,6 +125,15 @@ print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
                   "n_tiles": stats.n_tiles, "n_out": n_out,
                   "tiles_per_sec": round(stats.n_tiles / wall, 3)}))
 spark.stop()
+evdir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+if evdir:
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "stage_metrics", "/root/repo/scripts/stage_metrics.py")
+    sm = importlib.util.module_from_spec(spec); spec.loader.exec_module(sm)
+    log = sm.newest_log(evdir)
+    if log:
+        print("STAGES " + json.dumps(sm.parse_event_log(log)[:10]))
 '''
 
 
@@ -156,6 +169,10 @@ def main() -> None:
                     help="runs per level; min wall is kept (the box is "
                          "multi-tenant — min is the least-contended run)")
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--stage-metrics", action="store_true",
+                    help="attach per-stage task metrics (shuffle bytes, "
+                         "spill, GC, task-time histogram) from the Spark "
+                         "event log to each run")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
@@ -165,12 +182,18 @@ def main() -> None:
         results = {}
         for cpus in (lo, hi):
             best = None
-            for _ in range(args.repeats):
-                stdout = _run(WORKER, [str(cpus), p3path],
+            for rep_i in range(args.repeats):
+                evdir = (os.path.join(td, f"ev_{cpus}_{rep_i}")
+                         if args.stage_metrics else "")
+                stdout = _run(WORKER, [str(cpus), p3path, evdir],
                               taskset_cpus=cpus)
                 line = [ln for ln in stdout.splitlines()
                         if ln.startswith("{")]
                 run = json.loads(line[-1])
+                st = [ln for ln in stdout.splitlines()
+                      if ln.startswith("STAGES ")]
+                if st:
+                    run["stages"] = json.loads(st[-1][len("STAGES "):])
                 if best is None or run["wall_sec"] < best["wall_sec"]:
                     best = run
             best["n_runs"] = args.repeats

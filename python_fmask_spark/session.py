@@ -67,4 +67,12 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Stage-level evidence for scaling runs (parsed by
+    # scripts/stage_metrics.py): shuffle bytes, spill, GC per stage.
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", f"file:{ev_dir}")
+                   .config("spark.eventLog.compress", "false"))
     return builder.getOrCreate()

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 
 from python_fmask_spark import constants as C  # noqa: E402
 from python_fmask_spark import oracle  # noqa: E402
@@ -57,10 +58,23 @@ def main() -> None:
     p3 = pass3_duckdb(con)
     params = FmaskParams()
 
+    from independent_oracle import classify_scene_independent
+
     final_parts, shadow_parts = [], []
     for cell_id, pdf in p3.groupby("cell_id", sort=True):
         pdf = pdf.reset_index(drop=True)
-        final_parts.append(classify_scene(pdf, params))
+        # The fixture values come from the INDEPENDENT straight-line
+        # transcription (scripts/independent_oracle.py) so the driver
+        # check no longer compares classify_scene against itself; the
+        # engine kernel is cross-checked against it right here and the
+        # build fails loudly on any divergence.
+        indep = classify_scene_independent(pdf)
+        engine = classify_scene(pdf, params)
+        pd.testing.assert_frame_equal(
+            indep.sort_values("url").reset_index(drop=True),
+            engine.sort_values("url").reset_index(drop=True),
+            check_dtype=True)
+        final_parts.append(indep)
 
         # potential-shadow replay: whole-scene fill-minima over NIR
         # (matches __spark_entry__._potential_shadow_dist semantics:
