@@ -61,6 +61,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
+    "ann_ivf": similarity.q_ann_ivf,
     "dedup_embedding_cosine": similarity.q_embedding_near_dup,
     # text analysis
     "text_lang_id": textfn.q_lang_id,
@@ -183,6 +184,107 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "modality", "n_bytes", "feat_milli")
 
 
+def _fmask_final_class_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clump-parallel distributed classify (operators/scene_dist.py):
+    every stage's task grain is bounded regardless of cell size. Checked
+    against the SAME independent-replay fixture as fmask_final_class —
+    green means distributed == whole-scene == independent oracle."""
+    from python_fmask_spark.operators.scene_dist import classify_distributed
+    register_views(spark, sf_dir)
+    out = classify_distributed(spark)
+    return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                          "cloud_id", "cloud_height_du", "text_sha256")
+
+
+def _mask_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 on the driver board: write the interim mask through
+    write_mask (writeTo + staging swap + RAT dim table), read BOTH
+    tables back and join mask x RAT. The oracle recomputes the interim
+    class in DuckDB and joins a literal RAT — green proves the sink
+    round-trips rows and thematic metadata losslessly."""
+    from python_fmask_spark.plans import sinks
+    register_views(spark, sf_dir)
+    # kernel-path interim mask (same values as the declarative SQL —
+    # the fmask_interim_class driver row proves it); the giant
+    # self-join SQL form stays oracle-side only
+    df = pipeline.interim_class_kernel(spark).select(
+        "url", "cell_id", "r", "c", "fmask_class")
+    sinks.write_mask(df, "drv_mask_sink")
+    back = spark.table("drv_mask_sink")
+    rat = spark.table("drv_mask_sink_rat")
+    return (back.join(rat, back.fmask_class == rat.class_value)
+            .selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                        "class_name", "red", "green", "blue", "alpha"))
+
+
+def _rat_values_sql() -> str:
+    from python_fmask_spark.plans import sinks
+    colors = {c: (r, g, b, a) for c, r, g, b, a in sinks.COLOR_TABLE}
+    rows = []
+    for value, name in enumerate(sinks.CLASS_NAMES):
+        r, g, b, a = colors.get(value, (None, None, None, None))
+        def lit(x):
+            return "cast(NULL as int)" if x is None else str(x)
+        rows.append(f"({value}, '{name}', {lit(r)}, {lit(g)}, {lit(b)}, "
+                    f"{lit(a)})")
+    return ", ".join(rows)
+
+
+def _mask_sink_oracle() -> str:
+    inner = oracle.q_fmask_interim_class(DUCKDB)
+    return f"""
+WITH mask_q AS ({inner}),
+rat(class_value, class_name, red, green, blue, alpha) AS (
+  VALUES {_rat_values_sql()}
+)
+SELECT m.url, m.cell_id, m.r, m.c, m.fmask_class,
+       rat.class_name, rat.red, rat.green, rat.blue, rat.alpha
+FROM mask_q m JOIN rat ON rat.class_value = m.fmask_class"""
+
+
+STREAM_WINDOW_SEC = 120
+
+
+def _stream_pass1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 on the driver board: file-source micro-batch ingest
+    (availableNow) -> watermarked event-time window aggregation ->
+    memory sink; returns the drained result. Oracle: the same windowed
+    counts in DuckDB over the parquet (epoch-aligned windows, matching
+    Spark's default window alignment)."""
+    import shutil
+    import tempfile
+
+    from python_fmask_spark.streaming import ingest
+    d = tempfile.mkdtemp(prefix="fmask_stream_drv_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/part1.parquet")
+    counts = ingest.pass1_stream_counts(
+        spark, d, window=f"{STREAM_WINDOW_SEC} seconds")
+    ingest.run_available_now(counts, "drv_p1stream")
+    return spark.sql("""
+        SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss')
+                 AS window_start,
+               cell_id, cast(n_docs as bigint) AS n_docs,
+               cast(n_pcp as bigint) AS n_pcp,
+               cast(n_water as bigint) AS n_water,
+               cast(n_snow as bigint) AS n_snow
+        FROM drv_p1stream""")
+
+
+def _stream_pass1_oracle() -> str:
+    ctes = oracle._ctes(DUCKDB, "pass1")
+    w = STREAM_WINDOW_SEC
+    return f"""{ctes}
+SELECT strftime(to_timestamp(cast(floor(epoch(warc_ts) / {w}) * {w}
+                             as bigint)), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       cell_id, count(*) AS n_docs,
+       cast(sum(case when pcp then 1 else 0 end) as bigint) AS n_pcp,
+       cast(sum(case when water_test then 1 else 0 end) as bigint)
+         AS n_water,
+       cast(sum(case when snow then 1 else 0 end) as bigint) AS n_snow
+FROM pass1 GROUP BY 1, 2"""
+
+
 def _make_sql_query(builder: Callable[[str], str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -242,6 +344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _multimodal_features
     out["potential_shadow_dist"] = _potential_shadow_dist
     out["cloud_objects"] = _cloud_objects
+    # round-3 surfaces: distributed classify, sink round-trip, streaming
+    out["fmask_final_class_dist"] = _fmask_final_class_dist
+    out["mask_sink_roundtrip"] = _mask_sink_roundtrip
+    out["stream_pass1_counts"] = _stream_pass1
     return out
 
 
@@ -274,4 +380,9 @@ GROUP BY cell_id, cloud_id"""
     out["potential_shadow_dist"] = f"""
 SELECT url, cell_id, r, c, nir, filled, potential_shadow
 FROM read_parquet('{_FIXTURES}/shadow_oracle_fill.parquet')"""
+    # distributed classify: SAME independent-replay fixture as the
+    # whole-scene path — green proves distributed == whole-scene
+    out["fmask_final_class_dist"] = out["fmask_final_class"]
+    out["mask_sink_roundtrip"] = _mask_sink_oracle()
+    out["stream_pass1_counts"] = _stream_pass1_oracle()
     return out

@@ -69,7 +69,18 @@ from python_fmask_spark import constants as C
 import pyspark.sql.functions as F
 
 cpus, path = int(sys.argv[1]), sys.argv[2]
-spark = get_spark(master=f"local[{cpus}]", app_name=f"scal{cpus}",
+mode = sys.argv[4] if len(sys.argv) > 4 else "local"
+if mode == "cluster":
+    # multi-executor resize on one box: N separate executor JVMs x 8
+    # cores, each with its own heap/GC domain — the shape of a real
+    # N -> 4N cluster resize (vs local[N], where 4x concurrency shares
+    # ONE JVM and GC/allocator contention inflates per-task CPU).
+    n_exec = max(1, cpus // 8)
+    exec_mem = os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "16384")
+    master = f"local-cluster[{n_exec},8,{exec_mem}]"
+else:
+    master = f"local[{cpus}]"
+spark = get_spark(master=master, app_name=f"scal{cpus}",
                   shuffle_partitions=max(cpus * 4, 32))
 p3 = spark.read.parquet(path)
 # warmup: spin up ALL python workers + JIT with a small haloed kernel
@@ -147,6 +158,7 @@ def _run(code: str, args: list[str], timeout: int = 2400,
     if taskset_cpus is not None:
         cmd = ["taskset", "-c", f"0-{taskset_cpus - 1}", *cmd]
     env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_EXEC_MEM_MB", str(EXEC_MEM_MB[0]))
     # local mode: executors live in the driver JVM — window sorts over
     # 40M+ rows need real heap (the box has 125G)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -156,6 +168,9 @@ def _run(code: str, args: list[str], timeout: int = 2400,
     if out.returncode != 0:
         raise RuntimeError(f"subprocess failed: {out.stderr[-2000:]}")
     return out.stdout
+
+
+EXEC_MEM_MB = [16384]  # set from --exec-mem-mb in main()
 
 
 def main() -> None:
@@ -169,23 +184,48 @@ def main() -> None:
                     help="runs per level; min wall is kept (the box is "
                          "multi-tenant — min is the least-contended run)")
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--prep-cache", default="",
+                    help="directory to cache the (sf, replicate, "
+                         "cell_deg)-keyed pass-3 materialization across "
+                         "invocations (prep is deterministic)")
+    ap.add_argument("--exec-mem-mb", type=int, default=16384,
+                    help="per-executor memory in cluster mode")
+    ap.add_argument("--mode", choices=("local", "cluster"),
+                    default="local",
+                    help="'cluster' = local-cluster[N,8,16g]: N separate "
+                         "executor JVMs (true executor-count resize, "
+                         "per-executor GC domains); 'local' = local[N] "
+                         "single shared JVM")
     ap.add_argument("--stage-metrics", action="store_true",
                     help="attach per-stage task metrics (shuffle bytes, "
                          "spill, GC, task-time histogram) from the Spark "
                          "event log to each run")
     args = ap.parse_args()
+    EXEC_MEM_MB[0] = args.exec_mem_mb
+    if args.prep_cache:
+        os.makedirs(args.prep_cache, exist_ok=True)
     lo, hi = (int(x) for x in args.levels.split(","))
 
     with tempfile.TemporaryDirectory() as td:
-        p3path = os.path.join(td, "pass3")
-        _run(PREP, [args.sf, str(args.replicate), p3path, str(args.cell_deg)])
+        if args.prep_cache:
+            key = (f"{os.path.basename(args.sf)}_r{args.replicate}"
+                   f"_d{args.cell_deg}")
+            p3path = os.path.join(args.prep_cache, key)
+            if not os.path.exists(os.path.join(p3path, "_SUCCESS")):
+                _run(PREP, [args.sf, str(args.replicate), p3path,
+                            str(args.cell_deg)])
+        else:
+            p3path = os.path.join(td, "pass3")
+            _run(PREP, [args.sf, str(args.replicate), p3path,
+                        str(args.cell_deg)])
         results = {}
         for cpus in (lo, hi):
             best = None
             for rep_i in range(args.repeats):
                 evdir = (os.path.join(td, f"ev_{cpus}_{rep_i}")
                          if args.stage_metrics else "")
-                stdout = _run(WORKER, [str(cpus), p3path, evdir],
+                stdout = _run(WORKER, [str(cpus), p3path, evdir,
+                                       args.mode],
                               taskset_cpus=cpus)
                 line = [ln for ln in stdout.splitlines()
                         if ln.startswith("{")]
@@ -209,6 +249,7 @@ def main() -> None:
         "speedup": round(ratio, 3),
         "sf": args.sf,
         "replicate": args.replicate,
+        "mode": args.mode,
     }
     print(json.dumps(result))
     if args.write_md:
@@ -225,7 +266,7 @@ def main() -> None:
                 f"| local[{lo}] vs local[{hi}] | "
                 f"{results[lo]['tiles_per_sec']} vs "
                 f"{results[hi]['tiles_per_sec']} | {ratio:.2f}x | "
-                f"{eff:.3f} | sf={args.sf} rep={args.replicate} cell_deg={args.cell_deg} "
+                f"{eff:.3f} | mode={args.mode} sf={args.sf} rep={args.replicate} cell_deg={args.cell_deg} "
                 f"tiles={results[hi]['n_tiles']} "
                 f"rows={results[hi]['n_rows']} "
                 f"morph={results[lo]['wall_morph_sec']}/"

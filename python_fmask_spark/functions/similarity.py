@@ -83,13 +83,19 @@ FROM ranked WHERE rank <= {TOP_K}"""
 
 NEARDUP_BANDS = 4  # 2 planes per band (N_PLANES / NEARDUP_BANDS)
 
+# ann_lsh band structure: more bands -> higher recall, more candidates.
+# See q_ann_lsh for the measured tradeoff on this fixture.
+ANN_PLANES = 16
+ANN_BANDS = 8
 
-def _bands_cte(d: str) -> str:
-    """Banded random-hyperplane LSH: per-vector (band, 2-bit value) rows.
-    Banding (4 bands x 2 planes) beats a single 8-plane bucket on
-    recall: a pair collides if ANY band's 2 sign bits agree."""
-    pgen = explode_series("0", f"{N_PLANES - 1}", "p", d)
-    planes_per_band = N_PLANES // NEARDUP_BANDS
+
+def _bands_cte(d: str, n_planes: int = N_PLANES,
+               n_bands: int = NEARDUP_BANDS) -> str:
+    """Banded random-hyperplane LSH: per-vector (band, sign-bits) rows.
+    Banding beats a single monolithic bucket on recall: a pair collides
+    if ANY band's sign bits agree."""
+    pgen = explode_series("0", f"{n_planes - 1}", "p", d)
+    planes_per_band = n_planes // n_bands
     return f"""
 planes AS (
   SELECT i_all.i, {pgen}
@@ -166,6 +172,94 @@ JOIN norms nb ON nb.vec_id = d.id_b
 WHERE cast(d.dot as double) / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {threshold}"""
 
 
+def _rerank_tail(d: str) -> str:
+    """Shared exact-cosine re-rank over a ``cands(query_id, cand_id)``
+    CTE: integer dot products, deterministic rounding, top-k window."""
+    return f"""
+norms AS (
+  SELECT vec_id, sum(v * v) AS nrm FROM iv GROUP BY vec_id
+),
+dots AS (
+  SELECT ca.query_id, ca.cand_id, sum(q.v * c.v) AS dot
+  FROM cands ca
+  JOIN iv q ON q.vec_id = ca.query_id
+  JOIN iv c ON c.vec_id = ca.cand_id AND c.i = q.i
+  GROUP BY ca.query_id, ca.cand_id
+),
+ranked AS (
+  SELECT d.query_id, d.cand_id,
+    cast(round(1000000.0 * d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm))) as bigint)
+      AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY d.query_id
+      ORDER BY cast(d.dot as double) / (sqrt(nq.nrm) * sqrt(nc.nrm)) DESC,
+               d.cand_id) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}""".strip()
+
+
+IVF_CENTROID_MOD = 32   # ~n/32 coarse centroids (sampled corpus vectors)
+IVF_NPROBE = 8          # centroids probed per query
+
+
+def q_ann_ivf(d: str) -> str:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    the LSH variant: a deterministic md5-sample of corpus vectors acts
+    as centroids, every vector is assigned to its nearest centroid
+    (argmax integer dot product), and each query probes its
+    {IVF_NPROBE} nearest centroids' inverted lists before the exact
+    re-rank.
+
+    Scale plan: assignment is the standard IVF n x K dot-product pass
+    (equi-join on dimension index, map-side combinable sum); the
+    inverted lists are an equi-join on centroid id (no cross product);
+    candidates/query ~= nprobe/K of the corpus. Measured on the sf0.01
+    embeddings fixture vs q_ann_bruteforce (top-{TOP_K}): recall 0.60
+    at ~31% candidate fraction (nprobe=8 of ~16 centroids; 0.40 at 16%
+    with nprobe=4, 0.70 at 40% with nprobe=10) — on near-uniform
+    vectors (top-5 cosine ~0.32) a coarse quantizer necessarily trades
+    recall for the candidate cut; nprobe is the knob, and recall is far
+    higher on clustered (true near-dup) data where neighbors share a
+    centroid. The banded-LSH variant (q_ann_lsh) is the
+    recall-oriented configuration on this fixture."""
+    cast_var = "string" if d == SPARK else "varchar"
+    ch = md5_slice_int(f"concat('ivf_', cast(vec_id as {cast_var}))",
+                       1, 4, d)
+    return f"""
+WITH {_intvec_cte(d)},
+cdim AS (
+  SELECT DISTINCT vec_id AS cid FROM iv WHERE ({ch}) % {IVF_CENTROID_MOD} = 0
+),
+civ AS (
+  SELECT c.cid, iv.i, iv.v FROM iv JOIN cdim c ON iv.vec_id = c.cid
+),
+adots AS (
+  SELECT iv.vec_id, civ.cid, sum(iv.v * civ.v) AS dp
+  FROM iv JOIN civ ON civ.i = iv.i
+  GROUP BY iv.vec_id, civ.cid
+),
+aranked AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+  FROM adots
+),
+assign AS (SELECT vec_id, cid FROM aranked WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM aranked
+  WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+  FROM probe p JOIN assign a
+    ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+{_rerank_tail(d)}"""
+
+
 def _plane_sign(d: str) -> str:
     """Pseudo-random +-1 hyperplane component for (plane p, dim i)."""
     h = md5_slice_int("concat('plane_', cast(p as varchar), '_', "
@@ -176,33 +270,32 @@ def _plane_sign(d: str) -> str:
 
 
 def q_ann_lsh(d: str) -> str:
-    """LSH-bucketed ANN: sign-of-projection bits -> bucket join -> exact
-    cosine re-rank among same-bucket candidates only."""
-    pgen = explode_series("0", f"{N_PLANES - 1}", "p", d)
+    """Banded LSH ANN: 4 bands x 2 hyperplane-sign bits -> candidates
+    collide on ANY band (OR-amplified equi-join on (band, band value))
+    -> exact integer-cosine re-rank -> top-k.
+
+    Round 2 used a single 8-plane bucket (1/256 bucketing): a near
+    neighbor differing in any one plane was invisible. The banded form
+    reuses _bands_cte (the same machinery as q_embedding_near_dup) with
+    {ANN_BANDS} bands x {ANN_PLANES // ANN_BANDS} planes.
+
+    Measured on the sf0.01 embeddings fixture vs q_ann_bruteforce
+    (top-{TOP_K}): recall 0.97 at ~89% candidate fraction — this
+    fixture's vectors are near-uniform (top-5 cosine median 0.32,
+    i.e. ~71 deg), where hyperplane LSH is intrinsically weak, so high
+    recall costs a high candidate fraction. The band count is the
+    recall/cost knob: 4x2 bands = 0.86 recall @ 68% candidates; truly
+    NEAR vectors (cos >= 0.45, the near-dup regime) collide at ~1.0
+    recall even at 4 bands. The plan stays linear in corpus +
+    candidates regardless (equi-join on (band, bval), no cross
+    product), and candidate cost falls as real clusters tighten."""
     return f"""
 WITH {_intvec_cte(d)},
-planes AS (
-  SELECT i_all.i, {pgen.replace(' AS p', ' AS p')}
-  FROM (SELECT DISTINCT i FROM iv) i_all
-),
-signs AS (
-  SELECT p, i, {_plane_sign(d)} AS s FROM planes
-),
-proj AS (
-  SELECT iv.vec_id, s.p, sum(iv.v * s.s) AS dp
-  FROM iv JOIN signs s ON s.i = iv.i
-  GROUP BY iv.vec_id, s.p
-),
-buckets AS (
-  SELECT vec_id,
-    cast(sum(case when dp > 0 then power(2, p) else 0 end) as bigint)
-      AS bucket
-  FROM proj GROUP BY vec_id
-),
+{_bands_cte(d, ANN_PLANES, ANN_BANDS)},
 cands AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
-  FROM buckets q JOIN buckets c
-    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM vbands q JOIN vbands c
+    ON q.band = c.band AND q.bval = c.bval AND q.vec_id <> c.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
 norms AS (

@@ -199,43 +199,52 @@ def label_components(mask: np.ndarray, eight_connected: bool = True
     run_c1 = (stops - 1) % (w + 1)      # inclusive end column
     n_runs = len(starts)
 
-    # --- union-find over runs (runs are in scan order by construction)
-    parent = np.arange(n_runs, dtype=np.int64)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
+    # --- run-adjacency edges, fully vectorized (no per-run Python):
+    # runs overlapping run a: c0_b <= c1_a + e AND c1_b >= c0_a - e.
+    # prev-row runs are disjoint & sorted, so matches are contiguous
+    # [lo, hi) ranges expanded into an edge list with repeat/cumsum.
     e = 1 if eight_connected else 0
     # row boundaries in the run arrays (run_row is non-decreasing)
     row_starts = np.searchsorted(run_row, np.arange(h + 1))
+    ea_parts, eb_parts = [], []
     for r in range(1, h):
         a0, a1 = row_starts[r], row_starts[r + 1]
         b0, b1 = row_starts[r - 1], row_starts[r]
         if a0 == a1 or b0 == b1:
             continue
-        # runs overlapping run a: c0_b <= c1_a + e AND c1_b >= c0_a - e.
-        # prev-row runs are disjoint & sorted, so matches are contiguous.
         lo = b0 + np.searchsorted(run_c1[b0:b1], run_c0[a0:a1] - e, "left")
         hi = b0 + np.searchsorted(run_c0[b0:b1], run_c1[a0:a1] + e, "right")
-        for ai in range(a1 - a0):
-            a = a0 + ai
-            for b in range(lo[ai], hi[ai]):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
+        cnt = hi - lo
+        total_r = int(cnt.sum())
+        if total_r == 0:
+            continue
+        ea_parts.append(np.repeat(np.arange(a0, a1), cnt))
+        offs_r = np.arange(total_r) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        eb_parts.append(np.repeat(lo, cnt) + offs_r)
 
-    # --- canonical roots, numbered by first appearance in scan order
-    roots = np.empty(n_runs, dtype=np.int64)
-    for i in range(n_runs):
-        roots[i] = find(i)
+    # --- connected components of the run graph by min-label propagation
+    # with pointer jumping (path halving): O(edges) work per round,
+    # O(log n_runs) rounds — no Python iteration per run, so an
+    # adversarial checkerboard (runs ~ pixels/2) stays vectorized.
+    # The converged label is each component's MINIMUM run index == its
+    # first run in scan order, preserving scipy.ndimage.label numbering.
+    roots = np.arange(n_runs, dtype=np.int64)
+    if ea_parts:
+        ea = np.concatenate(ea_parts)
+        eb = np.concatenate(eb_parts)
+        while True:
+            nxt = roots.copy()
+            np.minimum.at(nxt, ea, roots[eb])
+            np.minimum.at(nxt, eb, roots[ea])
+            while True:
+                jumped = nxt[nxt]
+                if np.array_equal(jumped, nxt):
+                    break
+                nxt = jumped
+            if np.array_equal(nxt, roots):
+                break
+            roots = nxt
+
     uniq, first_idx = np.unique(roots, return_index=True)
     # uniq is sorted by root id == scan order of the root run itself,
     # and a root is always its component's first run, so label = rank.

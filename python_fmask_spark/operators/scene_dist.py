@@ -1,0 +1,396 @@
+"""Clump-parallel scene classification (the 100-TB shape of classify).
+
+``pipeline.classify`` runs fill -> clumps -> 3-D clouds -> shadow match
+-> finalize as ONE task per cell — semantically exact, but a Zipf-hot
+mega-cell is a straggler/OOM unit. This module re-expresses the same
+chain with every stage's task grain BOUNDED regardless of cell size,
+mirroring the reference's own per-clump independence (matchShadows
+loops clumps independently, /root/reference/fmask/fmask.py:1100-1185):
+
+  stage 1  morphology        tiled (cell_id, tile) halo kernel
+  stage 2  potential shadow  distributed fill-minima (tile fixpoint)
+  stage 3  cloud clumps      cross-tile CCL, renumbered to scan order
+  stage 4  3-D clouds +      applyInPandas over (cell_id, cloud_id) —
+           shadow template   task size == clump size
+  stage 5  shadow match      cogrouped applyInPandas over
+                             (cell_id, cloud_id): template pixels x
+                             bounded search-window pixels (window rows
+                             are tile-bucket equi-joined, never a range
+                             scan; window height <= template height +
+                             max sun-vector shift, independent of cell
+                             size)
+  stage 6  buffers+finalize  one fused tiled halo kernel + column CASE
+
+Output is BIT-IDENTICAL to classify_scene / the independent oracle
+fixture (tests/test_scene_dist.py; driver query
+fmask_final_class_dist): per-pixel (fmask_class, cloud_id,
+cloud_height_du, cloud_base_temp_c), with cloud_id in scipy scan-order
+numbering.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import constants as C
+from ..session import ensure_package_on_executors
+from . import kernels
+from .clumps import label_clumps_distributed
+from .fillminima_dist import fill_minima_distributed
+from .scene import FmaskParams
+
+
+def _sweep_bounds(t_base, t_low, t_high, sun_az, sun_zen, sat_az, sat_zen,
+                  x_res, y_res):
+    """The height sweep's step count and endpoint (row, col) offsets
+    (matchOneShadow setup, fmask/fmask.py:1188-1246). x/y offsets are
+    LINEAR in the step index, so the endpoint placements bound every
+    intermediate one — that's what makes the search window finite."""
+    tl = 0.0 if t_low is None or (isinstance(t_low, float)
+                                  and math.isnan(t_low)) else t_low
+    th = 10.0 if t_high is None or (isinstance(t_high, float)
+                                    and math.isnan(t_high)) else t_high
+    h_lo = max(0.2, (tl - 4 - t_base) / 9.8) * C.METRES_PER_KM
+    h_hi = min(12, (th + 4 - t_base)) * C.METRES_PER_KM
+    tan_szen = math.tan(sun_zen)
+    sin_saz = math.sin(sun_az)
+    cos_saz = math.cos(sun_az)
+    tan_vzen = math.tan(sat_zen)
+    sin_vaz = math.sin(sat_az)
+    cos_vaz = math.cos(sat_az)
+    d_min, d_max = h_lo * tan_szen, h_hi * tan_szen
+    x_off_min, x_off_max = d_min * sin_saz, d_max * sin_saz
+    y_off_min, y_off_max = d_min * cos_saz, d_max * cos_saz
+    longest = max(abs(x_off_max - x_off_min), abs(y_off_max - y_off_min))
+    num_steps = max(1, int(np.ceil(longest / x_res)))
+    x_step = (x_off_max - x_off_min) / num_steps
+    y_step = (y_off_max - y_off_min) / num_steps
+
+    def place(i):
+        hh = (x_off_min + i * x_step) / (tan_szen * sin_saz)
+        x_off = x_off_min + i * x_step - hh * tan_vzen * sin_vaz
+        y_off = y_off_min + i * y_step - hh * tan_vzen * cos_vaz
+        return int(y_off / y_res), int(x_off / x_res)
+
+    return (num_steps, x_off_min, x_step, y_off_min, y_step,
+            tan_szen, sin_saz, tan_vzen, sin_vaz, cos_vaz, place)
+
+
+# stage-4 per-pixel output: projection + 3-D shape, one row per clump
+# pixel (tr/tc = this pixel's shadow-template position)
+_PX_SCHEMA = ("cell_id string, cloud_id bigint, r int, c int, "
+              "height_du int, base_temp_c double, "
+              "sat_az_m double, sat_zen_m double, tr int, tc int")
+
+
+def _clump_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-clump 3-D cloud shape (cloudShapeFunc, fmask/fmask.py:896-951)
+    + cloud-top shadow projection (makeCloudShadowShapes,
+    fmask/fmask.py:959-1060). Scan-order sort reproduces the whole-scene
+    kernel's summation order bit-for-bit."""
+    pdf = pdf.sort_values(["r", "c"]).reset_index(drop=True)
+    bt_cloud = pdf["bt"].to_numpy().astype(np.float64).copy()
+    n_pix = len(pdf)
+    R = np.sqrt(n_pix / (2 * np.pi))
+    if R >= 8:
+        pct = 100.0 * (R - 8.0) ** 2 / (R ** 2)
+        t_base = float(np.percentile(bt_cloud, pct))
+    else:
+        t_base = float(bt_cloud.min())
+    bt_cloud[bt_cloud > t_base] = t_base
+    h_rel = (t_base - bt_cloud) / C.LAPSE_RATE_WET
+    height_du = np.round(h_rel * C.CLOUD_HEIGHT_SCALE).astype(np.uint8)
+
+    sun_az = float(pdf["sun_az"].iloc[0])
+    sun_zen = float(pdf["sun_zen"].iloc[0])
+    sat_az = float((pdf["sat_az_cdn"].to_numpy().astype(np.int64)
+                    * 0.01).mean())
+    sat_zen = float((pdf["sat_zen_cdn"].to_numpy().astype(np.int64)
+                     * 0.01).mean())
+    H = int(pdf["cell_rows"].iloc[0])
+    W = C.SCENE_WIDTH
+    x_res, y_res = C.X_RES, C.Y_RES
+
+    cloud_hgt = C.METRES_PER_KM * height_du.astype(np.float64) \
+        / C.CLOUD_HEIGHT_SCALE
+    x = pdf["c"].to_numpy() * x_res
+    y = pdf["r"].to_numpy() * y_res
+    d = cloud_hgt * np.float64(np.float32(np.tan(sun_zen)))
+    x_dash = x - d * float(np.sin(sun_az))
+    y_dash = y - d * float(np.cos(sun_az))
+    tr = (y_dash / y_res).astype(np.uint32).clip(0, H - 1)
+    tc = (x_dash / x_res).astype(np.uint32).clip(0, W - 1)
+
+    return pd.DataFrame({
+        "cell_id": pdf["cell_id"].to_numpy(),
+        "cloud_id": pdf["cloud_id"].to_numpy().astype(np.int64),
+        "r": pdf["r"].to_numpy().astype(np.int32),
+        "c": pdf["c"].to_numpy().astype(np.int32),
+        "height_du": height_du.astype(np.int32),
+        "base_temp_c": np.full(n_pix, t_base),
+        "sat_az_m": np.full(n_pix, sat_az),
+        "sat_zen_m": np.full(n_pix, sat_zen),
+        "tr": tr.astype(np.int32),
+        "tc": tc.astype(np.int32),
+    })
+
+
+_MATCH_SCHEMA = "cell_id string, r int, c int"
+
+
+def _match_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped per-clump shadow match: ``left`` = template pixels +
+    per-clump scalars, ``right`` = flag pixels of the clump's search
+    window. Transcribes matchOneShadow's height sweep
+    (fmask/fmask.py:1188-1308) over a cropped window with bounds checks
+    still done against the FULL cell raster, so accepted placements are
+    exactly the whole-scene kernel's."""
+    if left.empty or right.empty:
+        return pd.DataFrame({"cell_id": pd.Series(dtype=object),
+                             "r": pd.Series(dtype=np.int32),
+                             "c": pd.Series(dtype=np.int32)})
+    row0 = left.iloc[0]
+    H = int(row0["cell_rows"])
+    W = C.SCENE_WIDTH
+    x_res, y_res = C.X_RES, C.Y_RES
+    (num_steps, x_off_min, x_step, y_off_min, y_step,
+     tan_szen, sin_saz, tan_vzen, sin_vaz, cos_vaz, place) = _sweep_bounds(
+        float(row0["base_temp_c"]), float(row0["g_tlow"]),
+        float(row0["g_thigh"]), float(row0["sun_az"]),
+        float(row0["sun_zen"]), float(row0["sat_az_m"]),
+        float(row0["sat_zen_m"]), x_res, y_res)
+
+    trs = left["tr"].to_numpy()
+    tcs = left["tc"].to_numpy()
+    trow0, trow_n = int(trs.min()), int(trs.max())
+    tcol0, tcol_n = int(tcs.min()), int(tcs.max())
+    tnr, tnc = trow_n - trow0 + 1, tcol_n - tcol0 + 1
+    template = np.zeros((tnr, tnc), dtype=bool)
+    template[trs - trow0, tcs - tcol0] = True
+
+    # window raster (rows win_r0..win_r1 x full width); ghost slots
+    # (absent rows) are null, like the whole-scene kernel's np.ones init
+    wr = right["r"].to_numpy()
+    win_r0 = int(wr.min())
+    wh = int(wr.max()) - win_r0 + 1
+    cloud = np.zeros((wh, W), dtype=bool)
+    pot = np.zeros((wh, W), dtype=bool)
+    null = np.ones((wh, W), dtype=bool)
+    wc = right["c"].to_numpy()
+    cloud[wr - win_r0, wc] = right["cloudmask"].to_numpy().astype(bool)
+    pot[wr - win_r0, wc] = right["potential_shadow"].to_numpy().astype(bool)
+    null[wr - win_r0, wc] = right["nullmask"].to_numpy().astype(bool)
+
+    best_sim = 0.0
+    best = None
+    for i in range(num_steps):
+        row_off, col_off = place(i)
+        r = trow0 - row_off
+        c = tcol0 - col_off
+        if not (0 <= r and r + tnr <= H and 0 <= c and c + tnc <= W):
+            continue
+        lr = r - win_r0
+        if lr < 0 or lr + tnr > wh:
+            # window under-covered (cannot happen: endpoints bound the
+            # linear sweep) — fail closed rather than silently wrong
+            raise AssertionError("shadow search window under-covered")
+        cl = cloud[lr:lr + tnr, c:c + tnc]
+        ps = pot[lr:lr + tnr, c:c + tnc].copy()
+        nu = null[lr:lr + tnr, c:c + tnc]
+        ps[cl] = False
+        ps[nu] = False
+        tmpl = template.copy()
+        tmpl[cl] = False
+        tmpl[nu] = False
+        shadow_area = tmpl.sum()
+        overlap = np.logical_and(ps, tmpl)
+        sim = float(overlap.sum()) / shadow_area if shadow_area > 0 else 0.0
+        if sim > best_sim:
+            best_sim = sim
+            best = (r, c, overlap)
+    if best_sim > 0.3 and best is not None:
+        r, c, overlap = best
+        orr, occ = np.where(overlap)
+        return pd.DataFrame({
+            "cell_id": np.full(len(orr), row0["cell_id"]),
+            "r": (r + orr).astype(np.int32),
+            "c": (c + occ).astype(np.int32),
+        })
+    return pd.DataFrame({"cell_id": pd.Series(dtype=object),
+                         "r": pd.Series(dtype=np.int32),
+                         "c": pd.Series(dtype=np.int32)})
+
+
+def classify_distributed(spark: SparkSession, table: str = "documents",
+                         params: FmaskParams | None = None,
+                         p3: DataFrame | None = None,
+                         digests: DataFrame | None = None) -> DataFrame:
+    """Full classification with bounded task grains (see module doc).
+    Returns the same schema as pipeline.classify.
+
+    ``p3``/``digests`` override the pass-3 derivation and the
+    byte-identity digest side (benchmarks feed a pre-materialized
+    pixel table directly)."""
+    from .. import pipeline, tiling
+
+    params = params or FmaskParams()
+    ensure_package_on_executors(spark)
+    if p3 is None:
+        view = pipeline.materialize_pass1(spark, table)
+        cols = ", ".join((*pipeline._KERNEL_COLS, "cell_rows"))
+        p3 = spark.sql(pipeline.tail_sql_from_pass1(
+            view, "pass3", f"SELECT {cols} FROM pass3")).localCheckpoint()
+
+    # --- stage 1: interim cloud mask, tiled (cloudFinalPass tail)
+    raw = p3
+    if params.min_cloud_size_px > 1:
+        # The reference's size filter labels 4-connected
+        # (fmask/fmask.py:762-767); label_clumps_distributed is
+        # 8-connected. The engine default (MIN_CLOUD_SIZE_PIXELS = 0,
+        # constants.py) never takes this branch — refuse rather than
+        # silently diverge from classify_scene.
+        raise NotImplementedError(
+            "min_cloud_size_px > 1 needs a 4-connected distributed CCL; "
+            "use pipeline.classify for that configuration")
+    maj = tiling.tiled_neighborhood(
+        raw.select("url", "cell_id", "r", "c", "cloud_raw", "nullmask"),
+        kernels.majority3_buffer, "cloud_raw", "maj", radius=1,
+        passthrough=("nullmask",))
+    cloudmask_df = maj.withColumn(
+        "cloudmask", F.expr("maj and not nullmask")) \
+        .select("url", "cell_id", "r", "c", "cloudmask")
+
+    # --- stage 2: potential shadow via distributed fill-minima
+    filled = fill_minima_distributed(
+        p3.withColumn("nir17_dn", F.expr(f"g_b4_17 * {C.TOA_SCALE}"))
+        .select("url", "cell_id", "r", "c",
+                F.expr("cast(nir as bigint) as nir"), "nir17_dn"),
+        "nir", nullval=C.REF_NULL_DN, boundary_col="nir17_dn")
+    pot = filled.selectExpr(
+        "url",
+        f"cast((filled - nir) / {C.TOA_SCALE} > "
+        f"{C.EQN19_NIR_FILL_THRESH} as boolean) AS potential_shadow")
+
+    # per-pixel flag table for windows + finalize (one narrow frame)
+    flags = (p3.select("url", "cell_id", "r", "c", "nullmask",
+                       "water_test", "snow", "bt", "cell_rows",
+                       "g_tlow", "g_thigh", "sun_az", "sun_zen",
+                       "sat_az_cdn", "sat_zen_cdn")
+             .join(cloudmask_df.select("url", "cloudmask"), "url")
+             .join(pot, "url")).localCheckpoint()
+
+    # --- stage 3: clumps (cross-tile CCL), renumbered to the
+    # whole-scene scipy scan-order ids (rank of first-pixel linear idx)
+    lab = label_clumps_distributed(
+        flags.select("url", "cell_id", "r", "c", "cloudmask"), "cloudmask")
+    renum = (lab.select("cell_id", "clump_id").distinct()
+             .withColumn("cloud_id", F.expr(
+                 "row_number() over (partition by cell_id "
+                 "order by clump_id)").cast("bigint")))
+    clump_px = (lab.join(F.broadcast(renum), ["cell_id", "clump_id"])
+                .select("url", "cell_id", "r", "c", "cloud_id"))
+
+    # --- stage 4: per-clump 3-D shape + shadow template (task == clump)
+    px = (flags.join(clump_px.select("url", "cloud_id"), "url")
+          .groupBy("cell_id", "cloud_id")
+          .applyInPandas(_clump_kernel, schema=_PX_SCHEMA)
+          .localCheckpoint())
+
+    # --- stage 5: per-clump windowed shadow match (cogrouped)
+    cell_dim = flags.groupBy("cell_id").agg(
+        F.expr("first(cell_rows) AS cell_rows"),
+        F.expr("first(g_tlow) AS g_tlow"),
+        F.expr("first(g_thigh) AS g_thigh"),
+        F.expr("first(sun_az) AS sun_az"),
+        F.expr("first(sun_zen) AS sun_zen"))
+    tmpl = px.join(F.broadcast(cell_dim), "cell_id")
+
+    # window row range per clump from the sweep's endpoint placements
+    win_schema = ("cell_id string, cloud_id bigint, win_r0 int, win_r1 int")
+
+    def window_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        row0 = pdf.iloc[0]
+        (num_steps, *_rest, place) = _sweep_bounds(
+            float(row0["base_temp_c"]), float(row0["g_tlow"]),
+            float(row0["g_thigh"]), float(row0["sun_az"]),
+            float(row0["sun_zen"]), float(row0["sat_az_m"]),
+            float(row0["sat_zen_m"]), C.X_RES, C.Y_RES)
+        trow0 = int(pdf["tr"].min())
+        tnr = int(pdf["tr"].max()) - trow0 + 1
+        ends = [place(0), place(num_steps - 1)]
+        rs = [trow0 - ro for ro, _ in ends]
+        return pd.DataFrame({
+            "cell_id": [row0["cell_id"]], "cloud_id": [row0["cloud_id"]],
+            "win_r0": [max(0, min(rs))],
+            "win_r1": [max(rs) + tnr - 1]})
+
+    windows = tmpl.groupBy("cell_id", "cloud_id") \
+        .applyInPandas(window_of, schema=win_schema)
+
+    T = C.TILE_SIZE
+    win_tiles = windows.withColumn(
+        "tile", F.explode(F.expr(f"sequence(win_r0 div {T}, "
+                                 f"win_r1 div {T})")))
+    wflags = flags.select("cell_id", "r", "c", "cloudmask",
+                          "potential_shadow", "nullmask") \
+        .withColumn("tile", F.expr(f"r div {T}"))
+    window_px = (wflags.join(win_tiles, ["cell_id", "tile"])
+                 .filter("r between win_r0 and win_r1")
+                 .select("cell_id", "cloud_id", "r", "c", "cloudmask",
+                         "potential_shadow", "nullmask"))
+
+    matched = (tmpl.groupBy("cell_id", "cloud_id")
+               .cogroup(window_px.groupBy("cell_id", "cloud_id"))
+               .applyInPandas(lambda left, right:
+                              _match_kernel(left, right),
+                              schema=_MATCH_SCHEMA)
+               .distinct())
+
+    # --- stage 6: fused buffers (shadow r=3, cloud r=2) + finalize
+    shadow_px = matched.withColumn("shadow_raw", F.lit(True))
+    base = (flags.select("url", "cell_id", "r", "c", "cloudmask",
+                         "nullmask", "water_test", "snow")
+            .join(shadow_px, ["cell_id", "r", "c"], "left")
+            .withColumn("shadow_raw",
+                        F.expr("coalesce(shadow_raw, false)")))
+
+    sh_rad = params.shadow_buffer_px
+    cl_rad = params.cloud_buffer_px
+
+    def fused(slabs):
+        sh = kernels.dilate(slabs["shadow_raw"], sh_rad) \
+            if sh_rad > 0 else slabs["shadow_raw"]
+        cl = kernels.dilate(slabs["cloudmask"], cl_rad) \
+            if cl_rad > 0 else slabs["cloudmask"]
+        return {"shadow_dil": sh, "cloud_dil": cl}
+
+    rad = int(max(sh_rad, cl_rad, 1))
+    buf = tiling.tiled_neighborhood_multi(
+        base, fused, in_cols=("shadow_raw", "cloudmask"),
+        out_cols=("shadow_dil", "cloud_dil"), radius=rad,
+        passthrough=("nullmask", "water_test", "snow"))
+
+    out = buf.join(
+        px.select("cell_id", "r", "c", "cloud_id", "height_du",
+                  "base_temp_c"),
+        ["cell_id", "r", "c"], "left")
+    out = out.selectExpr(
+        "url", "cell_id", "r", "c",
+        f"""cast(case
+            when nullmask then {C.OUTCODE_NULL}
+            when cloud_dil then {C.OUTCODE_CLOUD}
+            when shadow_dil then {C.OUTCODE_SHADOW}
+            when snow then {C.OUTCODE_SNOW}
+            when water_test then {C.OUTCODE_WATER}
+            else {C.OUTCODE_CLEAR} end as int) AS fmask_class""",
+        "cast(coalesce(cloud_id, 0) as bigint) AS cloud_id",
+        "cast(coalesce(height_du, 0) as int) AS cloud_height_du",
+        "base_temp_c AS cloud_base_temp_c")
+    if digests is None:
+        digests = pipeline.text_digests(spark, table)
+    return out.join(digests, "url")

@@ -76,7 +76,7 @@ def invalidate_pass1_cache(spark: SparkSession) -> None:
 
 
 def materialize_pass1(spark: SparkSession, table: str = "documents",
-                      reuse: bool = True) -> str:
+                      reuse: bool = True, runner=None) -> str:
     """Materialize pass 1 behind a leaf view and return the view name.
 
     Catalyst inlines deterministic CTEs per reference; the thresholds +
@@ -90,17 +90,31 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
     ``reuse=True`` returns the session's existing materialization when
     the registered input hasn't changed (register_views invalidates on
     change): the interim/classify/threshold queries all branch from the
-    same stage table instead of re-deriving pass 1 per query."""
+    same stage table instead of re-deriving pass 1 per query.
+
+    ``runner`` (a plans.lineage.StageRunner): write the materialization
+    through a parquet/Iceberg stage table with lineage + fingerprint
+    instead of localCheckpoint — the 100-TB shape (localCheckpoint pins
+    executor memory/disk and dies with the session; a stage table
+    survives restarts and makes classify resumable mid-pipeline). Both
+    forms register the same leaf view name, so every downstream plan is
+    identical either way."""
     view = f"_pass1_mat_{table}"
     key = (id(spark), table)
-    if reuse and _PASS1_CACHE.get(key) == view \
+    if reuse and runner is None and _PASS1_CACHE.get(key) == view \
             and spark.catalog.tableExists(view):
         return view
     p1_ctes = ",\n".join([
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
         derive.pass1_sql(SPARK),
     ])
-    p1 = spark.sql(f"WITH {p1_ctes} SELECT * FROM pass1").localCheckpoint()
+    sql = f"WITH {p1_ctes} SELECT * FROM pass1"
+    if runner is not None:
+        import hashlib
+        fp = hashlib.sha256(f"{table}:{sql}".encode()).hexdigest()[:16]
+        p1 = runner.run("pass1", fp, lambda: spark.sql(sql))
+    else:
+        p1 = spark.sql(sql).localCheckpoint()
     p1.createOrReplaceTempView(view)
     _PASS1_CACHE[key] = view
     return view

@@ -100,6 +100,11 @@ def classify_checkpointed(spark: SparkSession, table: str, workdir: str,
     runner = StageRunner(spark, workdir, run_id)
     fp = f"{table}:v1"
 
+    # pass 1 itself goes through the stage-table path (not
+    # localCheckpoint): resumable, lineage-tracked, and the leaf the
+    # pass-3 tail + digest branch below both read.
+    pipeline.materialize_pass1(spark, table, runner=runner)
+
     def build_p3() -> DataFrame:
         # The stage table carries the text digest so a resumed run never
         # re-derives pass 1 just for byte-identity; both branches below

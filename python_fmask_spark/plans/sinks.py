@@ -20,6 +20,7 @@ color table + raster attribute table of class names
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,6 +64,21 @@ def write_mask(df: DataFrame, name: str,
     }
     staging = f"{name}__staging"
 
+    def clear_stale_location(tbl: str) -> None:
+        # The default session catalog is in-memory: a crashed previous
+        # process leaves the managed-table DIRECTORY under the warehouse
+        # while the new session's catalog has no entry, and create then
+        # fails with LOCATION_ALREADY_EXISTS. Only remove the location
+        # when the catalog genuinely doesn't know the table.
+        import shutil
+        if "." in tbl or spark.catalog.tableExists(tbl):
+            return
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh = wh.removeprefix("file:")
+        path = os.path.join(wh, tbl.lower())
+        if wh and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+
     def attempt(provider: str) -> None:
         from pyspark.sql import functions as F
         # Atomic-ish replace without RTAS (the V1 session catalog — the
@@ -70,6 +86,8 @@ def write_mask(df: DataFrame, name: str,
         # staging name first, and only drop + rename once the create has
         # SUCCEEDED — a failed create leaves the previous table intact.
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        clear_stale_location(staging)
+        clear_stale_location(name)
         w = df.writeTo(staging).using(provider).partitionedBy(
             F.col(partition_col))
         for k, v in props.items():
@@ -109,6 +127,8 @@ def write_mask(df: DataFrame, name: str,
         attempt(used)
 
     spark.sql(f"DROP TABLE IF EXISTS {name}_rat__staging")
+    clear_stale_location(f"{name}_rat__staging")
+    clear_stale_location(f"{name}_rat")
     class_rat_df(spark).writeTo(f"{name}_rat__staging").using(used).create()
     spark.sql(f"DROP TABLE IF EXISTS {name}_rat")
     spark.sql(f"ALTER TABLE {name}_rat__staging RENAME TO {name}_rat")

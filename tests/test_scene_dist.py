@@ -1,0 +1,70 @@
+"""classify_distributed == pipeline.classify (whole-scene kernel), which
+in turn equals the independent straight-line oracle — so every stage of
+the clump-parallel path (tiled morphology, distributed fill, cross-tile
+CCL + renumbering, per-clump 3-D/template kernel, cogrouped windowed
+shadow match, fused buffering) is pinned to the reference semantics."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from python_fmask_spark import pipeline  # noqa: E402
+from python_fmask_spark.operators.scene_dist import classify_distributed  # noqa: E402
+from python_fmask_spark.sources import register_views  # noqa: E402
+
+COLS = ["url", "fmask_class", "cloud_id", "cloud_height_du",
+        "cloud_base_temp_c", "text_sha256"]
+
+
+def _canon(df):
+    rows = {}
+    for r in df.select(*COLS).collect():
+        bt = r.cloud_base_temp_c
+        bt = None if bt is None or (isinstance(bt, float) and np.isnan(bt)) \
+            else round(bt, 9)
+        rows[r.url] = (r.fmask_class, r.cloud_id, r.cloud_height_du, bt,
+                       r.text_sha256)
+    return rows
+
+
+def test_distributed_equals_scene_kernel(spark, sf_small):
+    register_views(spark, sf_small)
+    whole = _canon(pipeline.classify(spark))
+    dist = _canon(classify_distributed(spark))
+    assert whole.keys() == dist.keys()
+    diffs = {u: (whole[u], dist[u]) for u in whole
+             if whole[u] != dist[u]}
+    assert not diffs, f"{len(diffs)} mismatching urls, e.g. " \
+        f"{list(diffs.items())[:3]}"
+
+
+def test_distributed_task_grain_is_bounded(spark, sf_small):
+    """The point of the clump-parallel path: no stage groups by bare
+    cell_id over pixel rows except bounded dims — spot-check that the
+    shadow-match window rows per (cell, cloud) are bounded by the sweep
+    geometry, not by cell size."""
+    import pyspark.sql.functions as F
+
+    from python_fmask_spark import constants as C
+    from python_fmask_spark.operators import scene_dist
+
+    register_views(spark, sf_small)
+    # max window height from the sweep geometry at the engine's angle
+    # ranges: h <= 12 km, tan(zen) <= tan(1.05) -> <= ~700 rows of 30 m
+    # plus the template height (<= cell rows) — the bound that matters
+    # is that window rows never exceed (max_shift + template) rows.
+    max_shift_rows = int(12000 * np.tan(1.05) / abs(C.Y_RES)) + 2
+    out = classify_distributed(spark)
+    out.count()  # force execution; plan validity is the main check here
+
+    # directly exercise the window builder on a synthetic mega-clump
+    nsteps, *_rest, place = scene_dist._sweep_bounds(
+        t_base=10.0, t_low=5.0, t_high=20.0, sun_az=1.0, sun_zen=1.0,
+        sat_az=0.5, sat_zen=0.1, x_res=C.X_RES, y_res=C.Y_RES)
+    ends = [place(0), place(nsteps - 1)]
+    spread = abs(ends[0][0] - ends[1][0])
+    assert spread <= max_shift_rows
