@@ -14,12 +14,24 @@ loops clumps independently, /root/reference/fmask/fmask.py:1100-1185):
            shadow template   task size == clump size
   stage 5  shadow match      cogrouped applyInPandas over
                              (cell_id, cloud_id): template pixels x
-                             bounded search-window pixels (window rows
-                             are tile-bucket equi-joined, never a range
-                             scan; window height <= template height +
-                             max sun-vector shift, independent of cell
-                             size)
+                             search-window pixels (window rows are
+                             tile-bucket equi-joined, never a range
+                             scan; window height <= clump extent +
+                             max sun-vector shift)
   stage 6  buffers+finalize  one fused tiled halo kernel + column CASE
+
+Task-grain bounds: stages 1-3 and 6 are bounded by TILE (independent
+of cell size); stages 4-5 are bounded by CLUMP extent — the
+reference's own irreducible unit of shadow-matching work (a single
+percolating mega-clump is one task there too). What this buys over
+pipeline.classify is that a mega-CELL no longer serializes fill +
+clumps + every clump's match into one task.
+
+Constant-factor cost: ~10 stage barriers and 5 extra shuffles vs the
+single-exchange whole-cell kernel — measured 10-30x total CPU at 1M
+rows, shrinking as cells grow. Use pipeline.classify below ~10^5 rows
+per cell; this path exists for the cell sizes where one task would
+straggle or OOM.
 
 Output is BIT-IDENTICAL to classify_scene / the independent oracle
 fixture (tests/test_scene_dist.py; driver query
@@ -143,48 +155,24 @@ def _clump_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 _MATCH_SCHEMA = "cell_id string, r int, c int"
 
 
-def _match_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-    """Cogrouped per-clump shadow match: ``left`` = template pixels +
-    per-clump scalars, ``right`` = flag pixels of the clump's search
-    window. Transcribes matchOneShadow's height sweep
-    (fmask/fmask.py:1188-1308) over a cropped window with bounds checks
-    still done against the FULL cell raster, so accepted placements are
-    exactly the whole-scene kernel's."""
-    if left.empty or right.empty:
-        return pd.DataFrame({"cell_id": pd.Series(dtype=object),
-                             "r": pd.Series(dtype=np.int32),
-                             "c": pd.Series(dtype=np.int32)})
-    row0 = left.iloc[0]
-    H = int(row0["cell_rows"])
+def _match_one(trs, tcs, scal, cloud, pot, null, win_r0, wh, H):
+    """One clump's height-sweep match (matchOneShadow,
+    fmask/fmask.py:1188-1308) against a shared band raster, with bounds
+    checks still done against the FULL cell raster so accepted
+    placements are exactly the whole-scene kernel's. Returns (r, c,
+    overlap) of the best placement above the 0.3 acceptance, or None."""
     W = C.SCENE_WIDTH
     x_res, y_res = C.X_RES, C.Y_RES
-    (num_steps, x_off_min, x_step, y_off_min, y_step,
-     tan_szen, sin_saz, tan_vzen, sin_vaz, cos_vaz, place) = _sweep_bounds(
-        float(row0["base_temp_c"]), float(row0["g_tlow"]),
-        float(row0["g_thigh"]), float(row0["sun_az"]),
-        float(row0["sun_zen"]), float(row0["sat_az_m"]),
-        float(row0["sat_zen_m"]), x_res, y_res)
-
-    trs = left["tr"].to_numpy()
-    tcs = left["tc"].to_numpy()
-    trow0, trow_n = int(trs.min()), int(trs.max())
-    tcol0, tcol_n = int(tcs.min()), int(tcs.max())
-    tnr, tnc = trow_n - trow0 + 1, tcol_n - tcol0 + 1
+    (num_steps, *_rest, place) = _sweep_bounds(
+        scal["base_temp_c"], scal["g_tlow"], scal["g_thigh"],
+        scal["sun_az"], scal["sun_zen"], scal["sat_az_m"],
+        scal["sat_zen_m"], x_res, y_res)
+    trow0 = int(trs.min())
+    tcol0 = int(tcs.min())
+    tnr = int(trs.max()) - trow0 + 1
+    tnc = int(tcs.max()) - tcol0 + 1
     template = np.zeros((tnr, tnc), dtype=bool)
     template[trs - trow0, tcs - tcol0] = True
-
-    # window raster (rows win_r0..win_r1 x full width); ghost slots
-    # (absent rows) are null, like the whole-scene kernel's np.ones init
-    wr = right["r"].to_numpy()
-    win_r0 = int(wr.min())
-    wh = int(wr.max()) - win_r0 + 1
-    cloud = np.zeros((wh, W), dtype=bool)
-    pot = np.zeros((wh, W), dtype=bool)
-    null = np.ones((wh, W), dtype=bool)
-    wc = right["c"].to_numpy()
-    cloud[wr - win_r0, wc] = right["cloudmask"].to_numpy().astype(bool)
-    pot[wr - win_r0, wc] = right["potential_shadow"].to_numpy().astype(bool)
-    null[wr - win_r0, wc] = right["nullmask"].to_numpy().astype(bool)
 
     best_sim = 0.0
     best = None
@@ -196,9 +184,9 @@ def _match_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             continue
         lr = r - win_r0
         if lr < 0 or lr + tnr > wh:
-            # window under-covered (cannot happen: endpoints bound the
-            # linear sweep) — fail closed rather than silently wrong
-            raise AssertionError("shadow search window under-covered")
+            # band under-covered (cannot happen: band halo = max window
+            # span) — fail closed rather than silently wrong
+            raise AssertionError("shadow search band under-covered")
         cl = cloud[lr:lr + tnr, c:c + tnc]
         ps = pot[lr:lr + tnr, c:c + tnc].copy()
         nu = null[lr:lr + tnr, c:c + tnc]
@@ -214,16 +202,61 @@ def _match_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             best_sim = sim
             best = (r, c, overlap)
     if best_sim > 0.3 and best is not None:
-        r, c, overlap = best
-        orr, occ = np.where(overlap)
-        return pd.DataFrame({
-            "cell_id": np.full(len(orr), row0["cell_id"]),
-            "r": (r + orr).astype(np.int32),
-            "c": (c + occ).astype(np.int32),
-        })
-    return pd.DataFrame({"cell_id": pd.Series(dtype=object),
-                         "r": pd.Series(dtype=np.int32),
-                         "c": pd.Series(dtype=np.int32)})
+        return best
+    return None
+
+
+def _match_band_kernel(left: pd.DataFrame, right: pd.DataFrame
+                       ) -> pd.DataFrame:
+    """Cogrouped BAND shadow match: ``left`` = template pixels +
+    per-clump scalars of every clump whose search window STARTS in this
+    row band; ``right`` = flag pixels of the band plus its halo (max
+    window span). All of the band's clumps sweep against ONE copy of
+    the band raster — the per-clump window duplication that made the
+    naive (cell, cloud) join quadratic-ish in clump count is gone,
+    while parallelism still scales with cell height (H / band_rows
+    independent tasks), mirroring the reference's independent per-clump
+    loop (fmask/fmask.py:1100-1185) at a grouped grain."""
+    if left.empty or right.empty:
+        return pd.DataFrame({"cell_id": pd.Series(dtype=object),
+                             "r": pd.Series(dtype=np.int32),
+                             "c": pd.Series(dtype=np.int32)})
+    W = C.SCENE_WIDTH
+    H = int(left["cell_rows"].iloc[0])
+    wr = right["r"].to_numpy()
+    win_r0 = int(wr.min())
+    wh = int(wr.max()) - win_r0 + 1
+    cloud = np.zeros((wh, W), dtype=bool)
+    pot = np.zeros((wh, W), dtype=bool)
+    null = np.ones((wh, W), dtype=bool)  # ghost slots are null
+    wc = right["c"].to_numpy()
+    cloud[wr - win_r0, wc] = right["cloudmask"].to_numpy().astype(bool)
+    pot[wr - win_r0, wc] = right["potential_shadow"].to_numpy().astype(bool)
+    null[wr - win_r0, wc] = right["nullmask"].to_numpy().astype(bool)
+
+    out_r: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for _cid, grp in left.groupby("cloud_id", sort=True):
+        g0 = grp.iloc[0]
+        scal = {k: float(g0[k]) for k in
+                ("base_temp_c", "g_tlow", "g_thigh", "sun_az", "sun_zen",
+                 "sat_az_m", "sat_zen_m")}
+        res = _match_one(grp["tr"].to_numpy(), grp["tc"].to_numpy(),
+                         scal, cloud, pot, null, win_r0, wh, H)
+        if res is not None:
+            r, c, overlap = res
+            orr, occ = np.where(overlap)
+            out_r.append((r + orr).astype(np.int32))
+            out_c.append((c + occ).astype(np.int32))
+    if not out_r:
+        return pd.DataFrame({"cell_id": pd.Series(dtype=object),
+                             "r": pd.Series(dtype=np.int32),
+                             "c": pd.Series(dtype=np.int32)})
+    rr = np.concatenate(out_r)
+    cc = np.concatenate(out_c)
+    return pd.DataFrame({
+        "cell_id": np.full(len(rr), left["cell_id"].iloc[0]),
+        "r": rr, "c": cc})
 
 
 def classify_distributed(spark: SparkSession, table: str = "documents",
@@ -265,12 +298,21 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         "cloudmask", F.expr("maj and not nullmask")) \
         .select("url", "cell_id", "r", "c", "cloudmask")
 
-    # --- stage 2: potential shadow via distributed fill-minima
+    # --- stage 2: potential shadow via distributed fill-minima.
+    # The fixpoint needs ~H/tile_rows rounds for a fill wave to cross a
+    # cell (each round propagates one halo), so a fixed 128-row tile
+    # degenerates on mega-cells (measured: a 16k-row cell took ~60
+    # rounds = 120+ stages). Adapt the FILL tile height to the tallest
+    # cell: rounds stay ~16 while the per-task slab stays bounded at
+    # tile_rows x 8 pixels.
+    h_max = p3.agg(F.expr("max(cell_rows)")).collect()[0][0] or 1
+    fill_tile = max(C.TILE_SIZE, -(-int(h_max) // 16))
     filled = fill_minima_distributed(
         p3.withColumn("nir17_dn", F.expr(f"g_b4_17 * {C.TOA_SCALE}"))
         .select("url", "cell_id", "r", "c",
                 F.expr("cast(nir as bigint) as nir"), "nir17_dn"),
-        "nir", nullval=C.REF_NULL_DN, boundary_col="nir17_dn")
+        "nir", nullval=C.REF_NULL_DN, boundary_col="nir17_dn",
+        tile_rows=fill_tile)
     pot = filled.selectExpr(
         "url",
         f"cast((filled - nir) / {C.TOA_SCALE} > "
@@ -296,7 +338,13 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
                 .select("url", "cell_id", "r", "c", "cloud_id"))
 
     # --- stage 4: per-clump 3-D shape + shadow template (task == clump)
+    # Explicit repartition on the group key: AQE's size-based coalescing
+    # is blind to Python CPU cost and was measured folding ALL clump
+    # kernels into one task (their byte size is small); a user-specified
+    # repartition survives AQE and keeps the clump grain.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     px = (flags.join(clump_px.select("url", "cloud_id"), "url")
+          .repartition(n_part, "cell_id", "cloud_id")
           .groupBy("cell_id", "cloud_id")
           .applyInPandas(_clump_kernel, schema=_PX_SCHEMA)
           .localCheckpoint())
@@ -330,24 +378,48 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
             "win_r1": [max(rs) + tnr - 1]})
 
     windows = tmpl.groupBy("cell_id", "cloud_id") \
-        .applyInPandas(window_of, schema=win_schema)
+        .applyInPandas(window_of, schema=win_schema).localCheckpoint()
+
+    # Band the match: every clump whose window STARTS in a row band is
+    # matched inside one task against ONE copy of the band raster
+    # (halo = max window span), instead of duplicating ~window_span x 8
+    # pixels PER CLOUD (measured: the per-cloud join amplified the
+    # pixel table ~28x on a clump-dense mega-cell). Band height >= max
+    # span keeps duplication <= 2x; parallelism = H / band_rows tasks.
+    span = int(windows.agg(
+        F.expr("max(win_r1 - win_r0 + 1)")).collect()[0][0] or 1)
+    B = max(1024, span)
+    wdim = windows.withColumn("band", F.expr(f"win_r0 div {B}"))
+    tmpl_b = tmpl.join(wdim.select("cell_id", "cloud_id", "band"),
+                       ["cell_id", "cloud_id"])
 
     T = C.TILE_SIZE
-    win_tiles = windows.withColumn(
-        "tile", F.explode(F.expr(f"sequence(win_r0 div {T}, "
-                                 f"win_r1 div {T})")))
+    # fresh leaf: both cogroup sides otherwise share the windows
+    # lineage and its `band` attribute id is ambiguous to the analyzer
+    bands = wdim.select("cell_id", "band").distinct().localCheckpoint()
+    band_tiles = bands.withColumn(
+        "tile", F.explode(F.expr(
+            f"sequence((band * {B}) div {T}, "
+            f"((band + 1) * {B} + {span} - 1) div {T})")))
     wflags = flags.select("cell_id", "r", "c", "cloudmask",
                           "potential_shadow", "nullmask") \
         .withColumn("tile", F.expr(f"r div {T}"))
-    window_px = (wflags.join(win_tiles, ["cell_id", "tile"])
-                 .filter("r between win_r0 and win_r1")
-                 .select("cell_id", "cloud_id", "r", "c", "cloudmask",
-                         "potential_shadow", "nullmask"))
+    # right-side keys aliased: cell_id/band would otherwise carry the
+    # same attribute ids as the template side (checkpoints preserve
+    # exprIds) and trip the analyzer's ambiguous-self-join check
+    band_px = (wflags.join(band_tiles, ["cell_id", "tile"])
+               .filter(f"r >= band * {B} "
+                       f"and r < (band + 1) * {B} + {span}")
+               .select(F.col("cell_id").alias("bcell"),
+                       F.col("band").alias("bband"), "r", "c",
+                       "cloudmask", "potential_shadow", "nullmask"))
 
-    matched = (tmpl.groupBy("cell_id", "cloud_id")
-               .cogroup(window_px.groupBy("cell_id", "cloud_id"))
+    matched = (tmpl_b.repartition(n_part, "cell_id", "band")
+               .groupBy("cell_id", "band")
+               .cogroup(band_px.repartition(n_part, "bcell", "bband")
+                        .groupBy("bcell", "bband"))
                .applyInPandas(lambda left, right:
-                              _match_kernel(left, right),
+                              _match_band_kernel(left, right),
                               schema=_MATCH_SCHEMA)
                .distinct())
 
