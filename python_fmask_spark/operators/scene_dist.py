@@ -358,27 +358,40 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         F.expr("first(sun_zen) AS sun_zen"))
     tmpl = px.join(F.broadcast(cell_dim), "cell_id")
 
-    # window row range per clump from the sweep's endpoint placements
+    # window row range per clump from the sweep's endpoint placements.
+    # The per-clump reduction (min/max template row + carried scalars)
+    # runs as a JVM hash aggregate with map-side combine — only the
+    # ~1-row-per-cloud dim reaches Python, never the template pixels.
     win_schema = ("cell_id string, cloud_id bigint, win_r0 int, win_r1 int")
+    wdim0 = tmpl.groupBy("cell_id", "cloud_id").agg(
+        F.expr("min(tr) AS trow0"), F.expr("max(tr) AS trmax"),
+        F.expr("first(base_temp_c) AS base_temp_c"),
+        F.expr("first(sat_az_m) AS sat_az_m"),
+        F.expr("first(sat_zen_m) AS sat_zen_m"),
+        F.expr("first(g_tlow) AS g_tlow"),
+        F.expr("first(g_thigh) AS g_thigh"),
+        F.expr("first(sun_az) AS sun_az"),
+        F.expr("first(sun_zen) AS sun_zen"))
 
-    def window_of(pdf: pd.DataFrame) -> pd.DataFrame:
-        row0 = pdf.iloc[0]
-        (num_steps, *_rest, place) = _sweep_bounds(
-            float(row0["base_temp_c"]), float(row0["g_tlow"]),
-            float(row0["g_thigh"]), float(row0["sun_az"]),
-            float(row0["sun_zen"]), float(row0["sat_az_m"]),
-            float(row0["sat_zen_m"]), C.X_RES, C.Y_RES)
-        trow0 = int(pdf["tr"].min())
-        tnr = int(pdf["tr"].max()) - trow0 + 1
-        ends = [place(0), place(num_steps - 1)]
-        rs = [trow0 - ro for ro, _ in ends]
-        return pd.DataFrame({
-            "cell_id": [row0["cell_id"]], "cloud_id": [row0["cloud_id"]],
-            "win_r0": [max(0, min(rs))],
-            "win_r1": [max(rs) + tnr - 1]})
+    def windows_map(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                (num_steps, *_rest, place) = _sweep_bounds(
+                    float(t.base_temp_c), float(t.g_tlow),
+                    float(t.g_thigh), float(t.sun_az), float(t.sun_zen),
+                    float(t.sat_az_m), float(t.sat_zen_m),
+                    C.X_RES, C.Y_RES)
+                ends = [place(0), place(num_steps - 1)]
+                rs = [int(t.trow0) - ro for ro, _ in ends]
+                tnr = int(t.trmax) - int(t.trow0) + 1
+                rows.append((t.cell_id, int(t.cloud_id),
+                             max(0, min(rs)), max(rs) + tnr - 1))
+            yield pd.DataFrame(
+                rows, columns=["cell_id", "cloud_id", "win_r0", "win_r1"])
 
-    windows = tmpl.groupBy("cell_id", "cloud_id") \
-        .applyInPandas(window_of, schema=win_schema).localCheckpoint()
+    windows = wdim0.mapInPandas(windows_map, schema=win_schema) \
+        .localCheckpoint()
 
     # Band the match: every clump whose window STARTS in a row band is
     # matched inside one task against ONE copy of the band raster
