@@ -159,7 +159,9 @@ def _potential_shadow_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      boundary_col="nir17_dn")
     return filled.selectExpr(
         "url", "cell_id", "r", "c", "nir", "filled",
-        "cast((filled - nir) / 10000.0 > 0.02 as int) AS potential_shadow")
+        "cast(cast(filled as double) / 10000.0 -"
+        " cast(nir as double) / 10000.0 > 0.02 as int)"
+        " AS potential_shadow")
 
 
 def _s2_cdi(spark: SparkSession, sf_dir: str) -> DataFrame:

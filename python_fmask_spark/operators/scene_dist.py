@@ -315,7 +315,12 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         tile_rows=fill_tile)
     pot = filled.selectExpr(
         "url",
-        f"cast((filled - nir) / {C.TOA_SCALE} > "
+        # two-division form (filled/scale - nir/scale) matches
+        # classify_scene and the reference doPotentialShadows exactly at
+        # the threshold boundary (one-division (filled-nir)/scale flips
+        # the comparison for integer DNs with filled-nir == 200).
+        f"cast(cast(filled as double) / {C.TOA_SCALE} - "
+        f"cast(nir as double) / {C.TOA_SCALE} > "
         f"{C.EQN19_NIR_FILL_THRESH} as boolean) AS potential_shadow")
 
     # per-pixel flag table for windows + finalize (one narrow frame)

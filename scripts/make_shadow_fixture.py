@@ -95,7 +95,8 @@ def main() -> None:
             "nir": nir[rr, cc],
             "filled": filled[rr, cc].astype(np.int64),
             "potential_shadow": (
-                ((filled[rr, cc] - nir[rr, cc]) / C.TOA_SCALE)
+                (filled[rr, cc] / C.TOA_SCALE
+                 - nir[rr, cc] / C.TOA_SCALE)
                 > C.EQN19_NIR_FILL_THRESH).astype(np.int32),
         }))
 

@@ -68,3 +68,32 @@ def test_distributed_task_grain_is_bounded(spark, sf_small):
     ends = [place(0), place(nsteps - 1)]
     spread = abs(ends[0][0] - ends[1][0])
     assert spread <= max_shift_rows
+
+
+def test_eqn19_two_division_boundary(spark):
+    """Eqn-19 parity at the exact threshold: for integer DNs with
+    filled - nir == 200, the reference/classify_scene float64 form
+    filled/scale - nir/scale yields 0.020000000000000004 > 0.02 for
+    most operand pairs, while both the one-division form
+    (filled-nir)/scale and Spark's DECIMAL-literal arithmetic yield
+    exactly 0.02 (not >). scene_dist stage 2's SQL (with its explicit
+    double casts) must agree with classify_scene's NumPy float64 form
+    on every boundary pair — 8769/12000 pairs flip without the casts."""
+    import numpy as np
+    import pandas as pd
+    from python_fmask_spark import constants as C
+
+    nir = np.arange(0, 12000, dtype=np.int64)
+    filled = nir + 200  # exactly at the Eqn-19 boundary
+    np_form = (filled / C.TOA_SCALE - nir / C.TOA_SCALE) \
+        > C.EQN19_NIR_FILL_THRESH
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"nir": nir, "filled": filled}))
+    got = (sdf.selectExpr(
+        "nir",
+        f"cast(cast(filled as double) / {C.TOA_SCALE} - "
+        f"cast(nir as double) / {C.TOA_SCALE} > "
+        f"{C.EQN19_NIR_FILL_THRESH} as boolean) AS pot")
+        .toPandas().sort_values("nir")["pot"].to_numpy())
+    assert (got == np_form).all(), \
+        f"{int((got != np_form).sum())}/12000 boundary pairs disagree"
