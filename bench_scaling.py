@@ -62,9 +62,10 @@ if len(sys.argv) > 3 and sys.argv[3]:
 from python_fmask_spark.session import get_spark
 from python_fmask_spark import tiling
 from python_fmask_spark.operators import kernels
-from python_fmask_spark.operators.scene import (FmaskParams,
-                                                SCENE_OUT_SCHEMA,
-                                                classify_scene)
+from python_fmask_spark.operators.scene import (DIM_COLS, FmaskParams,
+                                                PX_EXCHANGE_SQL,
+                                                SCENE_OUT_SCHEMA_SLIM,
+                                                scene_cogroup_kernel)
 from python_fmask_spark import constants as C
 import pyspark.sql.functions as F
 
@@ -117,14 +118,24 @@ stats = dil.selectExpr(
     "count(distinct concat(cell_id, '#', cast(r div 32 as string))) AS n_tiles",
 ).collect()[0]
 
-# full scene classify (shadow chain) from the same input; the digest
-# passthrough is joined back JVM-side (pipeline.classify plan shape)
+# full scene classify (shadow chain) from the same input via the SLIM
+# exchange (pipeline.classify plan shape): 8-field bit-packed pixel
+# frame through the groupBy sort, per-cell constants cogrouped as a
+# 1-row dim, url + digest joined back JVM-side on (cell_id, r, c)
 spark.sparkContext.setJobGroup("scene", "scene classify")
 t1 = time.perf_counter()
-scene_out = (p3.drop("text_sha256").groupBy("cell_id")
-             .applyInPandas(lambda pdf: classify_scene(pdf, params),
-                            schema=SCENE_OUT_SCHEMA)
-             .join(p3.select("url", "text_sha256"), "url"))
+p3.createOrReplaceTempView("p3bench")
+px = spark.sql("SELECT " + PX_EXCHANGE_SQL + " FROM p3bench")
+dims = spark.sql(
+    "SELECT cell_id, "
+    + ", ".join("first({0}) AS {0}".format(k) for k in DIM_COLS)
+    + " FROM p3bench GROUP BY cell_id")
+scene_out = (px.groupBy("cell_id")
+             .cogroup(dims.groupBy("cell_id"))
+             .applyInPandas(scene_cogroup_kernel(params),
+                            schema=SCENE_OUT_SCHEMA_SLIM)
+             .join(p3.select("cell_id", "r", "c", "url", "text_sha256"),
+                   ["cell_id", "r", "c"]))
 n_out = scene_out.count()
 wall_scene = time.perf_counter() - t1
 

@@ -280,6 +280,34 @@ def hq_fill(img: np.ndarray, nullmask: np.ndarray, img2: np.ndarray,
     """Hierarchical-queue reconstruction core
     (c_src/fillminima.c:270-299) over flat pixel indexes.
 
+    Dispatches to the self-built C kernel (_native.hq_fill_c, compiled
+    lazily with the system cc — the reference needed C for exactly this
+    loop too) and falls back to the pure-Python queue below when no
+    compiler is available. Both orders are level-ascending so the
+    result is identical; tests/test_kernels.py pins C == Python."""
+    from .._native import get_hq_fill
+
+    fn = get_hq_fill()
+    if fn is not None:
+        import ctypes
+        nrows, ncols = img.shape
+        imgc = np.ascontiguousarray(img, dtype=np.int64)
+        nullc = np.ascontiguousarray(nullmask, dtype=np.uint8)
+        assert img2.dtype == np.int64 and img2.flags.c_contiguous
+        rc = fn(imgc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                nullc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                img2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                int(h_min), int(h_max), nrows, ncols)
+        if rc == 0:
+            return
+        # allocation failure: fall through to the Python queue
+    _hq_fill_py(img, nullmask, img2, h_min, h_max)
+
+
+def _hq_fill_py(img: np.ndarray, nullmask: np.ndarray, img2: np.ndarray,
+                h_min: int, h_max: int) -> None:
+    """Pure-Python fallback (and the parity oracle for the C kernel).
+
     ``img2`` (int64, modified in place): seed pixels < h_max, everything
     else (incl. nulls) == h_max. Flat-index Python-int queues: each
     pixel is a single list append/read with no tuple boxing and no

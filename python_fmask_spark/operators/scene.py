@@ -129,8 +129,12 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
 
     rr = pdf["r"].to_numpy()
     cc = pdf["c"].to_numpy()
-    res = pd.DataFrame({
-        "url": pdf["url"].to_numpy(),
+    cols = {}
+    if "url" in pdf.columns:
+        # direct (non-pipeline) callers still pass the identity through;
+        # the pipeline's slim exchange joins url back JVM-side instead
+        cols["url"] = pdf["url"].to_numpy()
+    cols.update({
         "cell_id": pdf["cell_id"].to_numpy(),
         "r": rr.astype(np.int32),
         "c": cc.astype(np.int32),
@@ -139,6 +143,7 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
         "cloud_height_du": cloud_shape[rr, cc].astype(np.int32),
         "cloud_base_temp_c": base_temp_img[rr, cc],
     })
+    res = pd.DataFrame(cols)
     if "text_sha256" in pdf.columns:
         # direct (non-pipeline) callers may still pass the digest through
         res["text_sha256"] = pdf["text_sha256"].to_numpy()
@@ -155,3 +160,73 @@ SCENE_OUT_SCHEMA = ("url string, cell_id string, r int, c int, "
                     "cloud_height_du int, cloud_base_temp_c double")
 
 SCENE_OUT_SCHEMA_WITH_SHA = SCENE_OUT_SCHEMA + ", text_sha256 string"
+
+# --- slim scene exchange -----------------------------------------------
+# The groupBy(cell_id) sort feeding applyInPandas exchanges every field
+# as an 8-byte UnsafeRow slot plus variable-length string bytes, and the
+# sort SPILLS what doesn't fit (measured 8.3 GB at 40.96M rows). The slim
+# form cuts the exchanged row from 19 fields + url (~210 B) to 8 fields
+# (~90 B): url is dropped entirely (identity joins back JVM-side on
+# (cell_id, r, c)), the four booleans pack into ONE tinyint bitmask, and
+# the seven per-cell constants ride a separate 1-row-per-cell dim frame
+# through cogroup instead of repeating on every pixel row — the same
+# shape as the reference streaming uint8 stacks between passes
+# (fmask/fmask.py:459-460).
+
+SCENE_OUT_SCHEMA_SLIM = ("cell_id string, r int, c int, "
+                         "fmask_class int, cloud_id bigint, "
+                         "cloud_height_du int, cloud_base_temp_c double")
+
+# bitmask layout of the slim exchange's `flags` tinyint
+_FLAG_BITS = (("nullmask", 1), ("water_test", 2), ("snow", 4),
+              ("cloud_raw", 8))
+
+PX_EXCHANGE_SQL = (
+    "cell_id, cast(r as int) AS r, cast(c as int) AS c, "
+    "cast(nir as int) AS nir, bt, "
+    "cast(cast(nullmask as int) + 2 * cast(water_test as int) "
+    "+ 4 * cast(snow as int) + 8 * cast(cloud_raw as int) as tinyint) "
+    "AS flags, "
+    "cast(sat_az_cdn as int) AS sat_az_cdn, "
+    "cast(sat_zen_cdn as int) AS sat_zen_cdn")
+
+DIM_COLS = ("g_tlow", "g_thigh", "g_b4_17",
+            "sun_az", "sun_zen", "sat_az", "sat_zen")
+
+_EMPTY_SLIM = pd.DataFrame({
+    "cell_id": pd.Series(dtype=object),
+    "r": pd.Series(dtype="int32"), "c": pd.Series(dtype="int32"),
+    "fmask_class": pd.Series(dtype="int32"),
+    "cloud_id": pd.Series(dtype="int64"),
+    "cloud_height_du": pd.Series(dtype="int32"),
+    "cloud_base_temp_c": pd.Series(dtype="float64"),
+})
+
+
+def unpack_exchange(px: pd.DataFrame, dims: pd.DataFrame) -> pd.DataFrame:
+    """Reconstitute the full-width per-cell frame classify_scene expects
+    from the slim pixel frame + 1-row cell dim frame (pure pandas column
+    assignment — no Arrow cost; scalar assignment broadcasts)."""
+    flags = px["flags"].to_numpy()
+    pdf = pd.DataFrame({
+        "cell_id": px["cell_id"].to_numpy(),
+        "r": px["r"].to_numpy(), "c": px["c"].to_numpy(),
+        "nir": px["nir"].to_numpy(), "bt": px["bt"].to_numpy(),
+        "sat_az_cdn": px["sat_az_cdn"].to_numpy(),
+        "sat_zen_cdn": px["sat_zen_cdn"].to_numpy(),
+    })
+    for name, bit in _FLAG_BITS:
+        pdf[name] = (flags & bit) != 0
+    d0 = dims.iloc[0]
+    for k in DIM_COLS:
+        pdf[k] = d0[k]
+    return pdf
+
+
+def scene_cogroup_kernel(params: FmaskParams):
+    """Cogrouped kernel over (slim pixel frame, cell dim frame)."""
+    def kernel(px: pd.DataFrame, dims: pd.DataFrame) -> pd.DataFrame:
+        if px.empty or dims.empty:
+            return _EMPTY_SLIM
+        return classify_scene(unpack_exchange(px, dims), params)
+    return kernel

@@ -279,25 +279,63 @@ FROM pass1""")
                         "cdi_milli int, pcp_cdi int, pcp_final int"))
 
 
+def scene_exchange(spark: SparkSession, table: str = "documents"
+                   ) -> tuple[DataFrame, DataFrame]:
+    """The slim scene-kernel exchange: (pixel frame, per-cell dim frame).
+
+    Pixel frame = 8 narrow fields (no url, booleans packed into one
+    tinyint, no repeated per-cell constants) — see
+    operators.scene.PX_EXCHANGE_SQL for the rationale and measurements.
+    Dim frame = 1 row per cell with the threshold + angle scalars,
+    built from the thresholds aggregate and a first()-per-cell pass
+    over the pass-1 leaf (both map-side-combine JVM aggregates)."""
+    from .operators.scene import DIM_COLS, PX_EXCHANGE_SQL
+
+    view = materialize_pass1(spark, table)
+    px = spark.sql(tail_sql_from_pass1(
+        view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3"))
+    ang = ", ".join(f"first({k}) AS {k}" for k in DIM_COLS[3:])
+    dims = spark.sql(tail_sql_from_pass1(
+        view, "thresholds",
+        f"""SELECT t.cell_id,
+              cast(t.tlow as double) AS g_tlow,
+              cast(t.thigh as double) AS g_thigh,
+              t.b4_17 AS g_b4_17,
+              a.sun_az, a.sun_zen, a.sat_az, a.sat_zen
+            FROM thresholds t
+            JOIN (SELECT cell_id, {ang}
+                  FROM pass1 GROUP BY cell_id) a
+              ON a.cell_id = t.cell_id"""))
+    return px, dims
+
+
 def classify(spark: SparkSession, table: str = "documents",
              params: FmaskParams | None = None) -> DataFrame:
     """Full classification: returns (url, cell_id, r, c, fmask_class,
     cloud_id, ..., text_sha256). ``table`` must be a registered view
     with the raw documents schema.
 
-    Plan shape: the per-cell kernel shuffles ONLY the numeric columns
-    it needs; the 64-byte text digest (a pure passthrough invariant)
-    is joined back JVM-side afterwards — at 10M rows the digest was
-    ~half the Arrow bytes of the stage and scaled with nothing. The
-    digest side reads the materialized pass-1 leaf (text_digests), so
-    the threshold/pass2/pass3 tail runs exactly once."""
+    Plan shape: the per-cell kernel exchanges ONLY the slim pixel frame
+    (scene_exchange — 8 narrow fields, flags bit-packed, per-cell
+    constants cogrouped as a 1-row dim); url and the 64-byte text
+    digest (pure passthrough identity) join back JVM-side on
+    (cell_id, r, c) from the materialized pass-1 leaf, so neither ever
+    rides the groupBy sort that was measured spilling 8.3 GB at 40.96M
+    rows with the full-width row. The digest side reads the pass-1
+    leaf, so the threshold/pass2/pass3 tail never re-derives text."""
+    from .operators.scene import SCENE_OUT_SCHEMA_SLIM, scene_cogroup_kernel
+
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
-    p3 = pass3_df(spark, table)
-
-    def kernel(pdf):
-        return classify_scene(pdf, params)
-
-    out = (p3.groupBy("cell_id")
-           .applyInPandas(kernel, schema=SCENE_OUT_SCHEMA))
-    return out.join(text_digests(spark, table), "url")
+    px, dims = scene_exchange(spark, table)
+    out = (px.groupBy("cell_id")
+           .cogroup(dims.groupBy("cell_id"))
+           .applyInPandas(scene_cogroup_kernel(params),
+                          schema=SCENE_OUT_SCHEMA_SLIM))
+    view = materialize_pass1(spark, table)
+    ident = spark.sql(
+        f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
+            FROM {view}""")
+    return (out.join(ident, ["cell_id", "r", "c"])
+            .select("url", "cell_id", "r", "c", "fmask_class", "cloud_id",
+                    "cloud_height_du", "cloud_base_temp_c", "text_sha256"))

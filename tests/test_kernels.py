@@ -175,3 +175,44 @@ def test_tile_decomposition_majority():
     # seams differ only where the halo was genuine border reflect;
     # interior rows must agree exactly
     assert (out[1:63] == whole[1:63]).all()
+
+
+def test_hq_fill_c_matches_python():
+    """The self-built C hierarchical-queue kernel is bit-identical to
+    the pure-Python queue (the parity oracle) across null densities,
+    raster shapes, and boundary levels."""
+    import numpy as np
+
+    from python_fmask_spark._native import get_hq_fill
+    from python_fmask_spark.operators import kernels
+
+    if get_hq_fill() is None:  # no compiler in this environment
+        import pytest
+        pytest.skip("no C toolchain; python fallback is the only path")
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        H = rng.randint(4, 300)
+        W = int(rng.choice([3, 8, 8, 21]))
+        img = rng.randint(0, 2500, size=(H, W)).astype(np.int64)
+        nullmask = rng.rand(H, W) < float(rng.choice([0.0, 0.1, 0.4]))
+        non_null = ~nullmask
+        if not non_null.any():
+            continue
+        h_max = int(img[non_null].max())
+        h_min = int(img[non_null].min())
+        bval = int(rng.randint(h_min, h_max + 1))
+
+        def seeds():
+            i2 = np.full((H, W), h_max, dtype=np.int64)
+            edge = np.zeros((H, W), dtype=bool)
+            edge[0, :] = edge[-1, :] = True
+            edge[:, 0] = edge[:, -1] = True
+            i2[edge & (img != h_max)] = bval
+            i2[nullmask] = h_max
+            return i2
+
+        a, b = seeds(), seeds()
+        kernels.hq_fill(img, nullmask, a, h_min, h_max)
+        kernels._hq_fill_py(img, nullmask, b, h_min, h_max)
+        assert (a == b).all()
