@@ -198,6 +198,34 @@ def _fmask_final_class_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cloud_id", "cloud_height_du", "text_sha256")
 
 
+def _fmask_final_class_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full shadow-chain classify under the Sentinel-2 NO-THERMAL
+    regime: thermal probability terms degenerate to 1, cloudmask3 off,
+    BT thresholds NULL (-> 0/10 sweep defaults), flat 2-D clouds with
+    Tcloudbase = 0 (fmask/fmask.py:645-649,747-748,913-951). Oracle =
+    an S2-regime independent-replay fixture (second transcription,
+    scripts/make_shadow_fixture.py) — green proves the engine's shadow
+    chain under sensor dispatch, not just L8."""
+    register_views(spark, sf_dir)
+    out = pipeline.classify(spark, sensor="SENTINEL2",
+                            s2_offsets=oracle.S2_ZERO_OFFSETS)
+    return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                          "cloud_id", "cloud_height_du", "text_sha256")
+
+
+def _fmask_final_class_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based dispatch (pipeline.classify_auto): cells below the
+    row threshold run the whole-cell kernel, cells at/above it run the
+    clump-parallel distributed path. The threshold is set low enough
+    that BOTH paths execute at sf0.01 (mixed dispatch), and the result
+    is checked against the SAME independent-replay fixture — green
+    proves auto == whole-scene == distributed == independent oracle."""
+    register_views(spark, sf_dir)
+    out = pipeline.classify_auto(spark, row_threshold=8)
+    return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                          "cloud_id", "cloud_height_du", "text_sha256")
+
+
 def _mask_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S4 on the driver board: write the interim mask through
     write_mask (writeTo + staging swap + RAT dim table), read BOTH
@@ -258,13 +286,21 @@ def _stream_pass1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from python_fmask_spark.streaming import ingest
     d = tempfile.mkdtemp(prefix="fmask_stream_drv_")
-    shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/part1.parquet")
-    counts = ingest.pass1_stream_counts(
-        spark, d, window=f"{STREAM_WINDOW_SEC} seconds")
-    ingest.run_available_now(counts, "drv_p1stream")
+    try:
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/part1.parquet")
+        counts = ingest.pass1_stream_counts(
+            spark, d, window=f"{STREAM_WINDOW_SEC} seconds")
+        ingest.run_available_now(counts, "drv_p1stream")
+    finally:
+        # the memory sink holds the drained rows; the staged source
+        # copy (a full documents.parquet per driver run) is garbage
+        shutil.rmtree(d, ignore_errors=True)
+    # window start as EPOCH SECONDS (a timezone-free instant): the
+    # formatted-string form compared Spark's session-tz rendering with
+    # DuckDB's system-tz strftime and broke whenever the two differed
     return spark.sql("""
-        SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss')
-                 AS window_start,
+        SELECT cast(unix_timestamp(window_start) as bigint)
+                 AS window_start_epoch,
                cell_id, cast(n_docs as bigint) AS n_docs,
                cast(n_pcp as bigint) AS n_pcp,
                cast(n_water as bigint) AS n_water,
@@ -276,9 +312,8 @@ def _stream_pass1_oracle() -> str:
     ctes = oracle._ctes(DUCKDB, "pass1")
     w = STREAM_WINDOW_SEC
     return f"""{ctes}
-SELECT strftime(to_timestamp(cast(floor(epoch(warc_ts) / {w}) * {w}
-                             as bigint)), '%Y-%m-%d %H:%M:%S')
-         AS window_start,
+SELECT cast(floor(epoch(warc_ts) / {w}) * {w} as bigint)
+         AS window_start_epoch,
        cell_id, count(*) AS n_docs,
        cast(sum(case when pcp then 1 else 0 end) as bigint) AS n_pcp,
        cast(sum(case when water_test then 1 else 0 end) as bigint)
@@ -348,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cloud_objects"] = _cloud_objects
     # round-3 surfaces: distributed classify, sink round-trip, streaming
     out["fmask_final_class_dist"] = _fmask_final_class_dist
+    out["fmask_final_class_auto"] = _fmask_final_class_auto
+    out["fmask_final_class_s2"] = _fmask_final_class_s2
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
     return out
@@ -385,6 +422,13 @@ FROM read_parquet('{_FIXTURES}/shadow_oracle_fill.parquet')"""
     # distributed classify: SAME independent-replay fixture as the
     # whole-scene path — green proves distributed == whole-scene
     out["fmask_final_class_dist"] = out["fmask_final_class"]
+    # cost-based dispatch: mixed whole-cell + distributed, same fixture
+    out["fmask_final_class_auto"] = out["fmask_final_class"]
+    # Sentinel-2 no-thermal regime, own independent-replay fixture
+    out["fmask_final_class_s2"] = f"""
+SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
+       text_sha256
+FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2.parquet')"""
     out["mask_sink_roundtrip"] = _mask_sink_oracle()
     out["stream_pass1_counts"] = _stream_pass1_oracle()
     return out

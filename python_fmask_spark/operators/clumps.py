@@ -29,9 +29,14 @@ def _local_label_schema() -> str:
 
 
 def label_clumps_distributed(df: DataFrame, flag_col: str,
-                             tile_rows: int = C.TILE_SIZE) -> DataFrame:
-    """Label True pixels of ``flag_col`` with 8-connected component ids,
-    unique per cell, spanning tile boundaries.
+                             tile_rows: int = C.TILE_SIZE,
+                             eight_connected: bool = True) -> DataFrame:
+    """Label True pixels of ``flag_col`` with connected-component ids,
+    unique per cell, spanning tile boundaries. ``eight_connected=False``
+    gives the 4-connected labeling the reference's min-cloud-size filter
+    uses (fmask/fmask.py:762-767); the connectivity decision applies
+    identically in the per-tile kernel AND the seam join (a diagonal
+    seam pair is an equivalence only under 8-connectivity).
 
     Returns (url, cell_id, r, c, clump_id) for True pixels; clump_id is
     the linear index (r * W + c) of the component's first pixel in scan
@@ -49,7 +54,8 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
         h = int(r.max()) - lo + 1
         arr = np.zeros((h, W), dtype=bool)
         arr[r - lo, pdf["c"].to_numpy()] = True
-        lab, _n = kernels.label_components(arr, eight_connected=True)
+        lab, _n = kernels.label_components(
+            arr, eight_connected=eight_connected)
         # Globalize: local component id -> its min linear pixel index
         # within this tile (min over the component of (r*W + c)).
         lin = (np.arange(h)[:, None] + lo) * W + np.arange(W)[None, :]
@@ -83,10 +89,11 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
         .select(F.col("cell_id").alias("cell_a"),
                 F.col("r").alias("r_a"), F.col("c").alias("c_a"),
                 F.col("local_label").alias("lab_a"))
+    seam_e = 1 if eight_connected else 0
     edges = (bottom.join(
         top,
         (bottom.cell_a == top.cell_b) & (top.r == bottom.r_a + 1)
-        & (F.abs(top.c - bottom.c_a) <= 1))
+        & (F.abs(top.c - bottom.c_a) <= seam_e))
         .select("cell_a", "lab_a", "lab_b").distinct())
 
     edge_rows = edges.collect()  # O(perimeter), see module docstring

@@ -34,8 +34,8 @@ def _to_raster(pdf: pd.DataFrame, col: str, H: int, W: int, fill, dtype):
     return arr
 
 
-def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
-                   ) -> pd.DataFrame:
+def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams(),
+                   has_thermal: bool = True) -> pd.DataFrame:
     """Input: one cell's pass-3 pixel rows. Output: per-url final class.
 
     Stages (reference provenance):
@@ -87,8 +87,16 @@ def classify_scene(pdf: pd.DataFrame, params: FmaskParams = FmaskParams()
     # --- clump clouds (fmask/fmask.py:833-844, 8-connected)
     clumps, _n = kernels.label_components(cloudmask, eight_connected=True)
 
-    # --- 3-D clouds (fmask/fmask.py:896-951)
-    cloud_shape, base_temp = kernels.cloud_shape_and_base_temp(clumps, bt)
+    # --- 3-D clouds (fmask/fmask.py:896-951). Without thermal the
+    # clouds are flat 2-D shapes — cloudShape all zero, cloudBaseTemp
+    # EMPTY so every shadow match runs at Tcloudbase = 0
+    # (fmask/fmask.py:913-951 else-branch + matchShadows:1148-1152).
+    if has_thermal:
+        cloud_shape, base_temp = \
+            kernels.cloud_shape_and_base_temp(clumps, bt)
+    else:
+        cloud_shape = np.zeros(clumps.shape, dtype=np.uint8)
+        base_temp = {}
     bt_lut = np.full(int(clumps.max()) + 1, np.nan)
     for cid, tb in base_temp.items():
         bt_lut[cid] = tb
@@ -223,10 +231,11 @@ def unpack_exchange(px: pd.DataFrame, dims: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-def scene_cogroup_kernel(params: FmaskParams):
+def scene_cogroup_kernel(params: FmaskParams, has_thermal: bool = True):
     """Cogrouped kernel over (slim pixel frame, cell dim frame)."""
     def kernel(px: pd.DataFrame, dims: pd.DataFrame) -> pd.DataFrame:
         if px.empty or dims.empty:
             return _EMPTY_SLIM
-        return classify_scene(unpack_exchange(px, dims), params)
+        return classify_scene(unpack_exchange(px, dims), params,
+                              has_thermal=has_thermal)
     return kernel

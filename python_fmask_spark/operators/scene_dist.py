@@ -262,34 +262,68 @@ def _match_band_kernel(left: pd.DataFrame, right: pd.DataFrame
 def classify_distributed(spark: SparkSession, table: str = "documents",
                          params: FmaskParams | None = None,
                          p3: DataFrame | None = None,
-                         digests: DataFrame | None = None) -> DataFrame:
+                         digests: DataFrame | None = None,
+                         runner=None) -> DataFrame:
     """Full classification with bounded task grains (see module doc).
     Returns the same schema as pipeline.classify.
 
     ``p3``/``digests`` override the pass-3 derivation and the
     byte-identity digest side (benchmarks feed a pre-materialized
-    pixel table directly)."""
+    pixel table directly).
+
+    ``runner`` (plans.lineage.StageRunner): materialize each stage
+    barrier through a fingerprinted stage TABLE instead of
+    localCheckpoint — the 100-TB shape. localCheckpoint pins executor
+    memory/disk and dies with the session, so a mid-job failure
+    restarts the whole five-barrier chain; stage tables survive
+    restarts and a rerun skips every completed stage
+    (tests/test_lineage.py::test_distributed_classify_resumes). The
+    reference analogue is its keepIntermediates temp rasters
+    (fmask/fmask.py:206-216)."""
     from .. import pipeline, tiling
 
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
+    fp = f"{table}:distv1"
+
+    def _mat(stage: str, build):
+        """Stage barrier: fingerprinted stage table under a runner,
+        session-scoped localCheckpoint otherwise. Both return a fresh
+        leaf (LogicalRDD / parquet scan), which also keeps downstream
+        attribute ids unambiguous."""
+        if runner is not None:
+            return runner.run(stage, fp, build)
+        return build().localCheckpoint()
+
     if p3 is None:
-        view = pipeline.materialize_pass1(spark, table)
+        view = pipeline.materialize_pass1(spark, table, runner=runner)
         cols = ", ".join((*pipeline._KERNEL_COLS, "cell_rows"))
-        p3 = spark.sql(pipeline.tail_sql_from_pass1(
-            view, "pass3", f"SELECT {cols} FROM pass3")).localCheckpoint()
+        p3 = _mat("dist_p3", lambda: spark.sql(pipeline.tail_sql_from_pass1(
+            view, "pass3", f"SELECT {cols} FROM pass3")))
 
     # --- stage 1: interim cloud mask, tiled (cloudFinalPass tail)
     raw = p3
     if params.min_cloud_size_px > 1:
-        # The reference's size filter labels 4-connected
-        # (fmask/fmask.py:762-767); label_clumps_distributed is
-        # 8-connected. The engine default (MIN_CLOUD_SIZE_PIXELS = 0,
-        # constants.py) never takes this branch — refuse rather than
-        # silently diverge from classify_scene.
-        raise NotImplementedError(
-            "min_cloud_size_px > 1 needs a 4-connected distributed CCL; "
-            "use pipeline.classify for that configuration")
+        # The reference's size filter labels 4-CONNECTED
+        # (fmask/fmask.py:762-767) — distinct from the 8-connected cloud
+        # clumps of stage 3. Cross-tile 4-conn CCL over cloud_raw,
+        # per-clump counts (map-side combinable), and the sub-threshold
+        # clumps' pixels flip cloud_raw off before the majority filter —
+        # exactly classify_scene's sizes[clumps0] < min masking.
+        lab4 = label_clumps_distributed(
+            raw.select("url", "cell_id", "r", "c", "cloud_raw"),
+            "cloud_raw", eight_connected=False)
+        small_px = (lab4
+                    .join(lab4.groupBy("cell_id", "clump_id").count()
+                          .filter(F.col("count") <
+                                  int(params.min_cloud_size_px))
+                          .select("cell_id", "clump_id"),
+                          ["cell_id", "clump_id"], "left_semi")
+                    .select("url").withColumn("small", F.lit(True)))
+        raw = (raw.join(small_px, "url", "left")
+               .withColumn("cloud_raw",
+                           F.expr("cloud_raw and small is null"))
+               .drop("small"))
     maj = tiling.tiled_neighborhood(
         raw.select("url", "cell_id", "r", "c", "cloud_raw", "nullmask"),
         kernels.majority3_buffer, "cloud_raw", "maj", radius=1,
@@ -324,12 +358,13 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         f"{C.EQN19_NIR_FILL_THRESH} as boolean) AS potential_shadow")
 
     # per-pixel flag table for windows + finalize (one narrow frame)
-    flags = (p3.select("url", "cell_id", "r", "c", "nullmask",
-                       "water_test", "snow", "bt", "cell_rows",
-                       "g_tlow", "g_thigh", "sun_az", "sun_zen",
-                       "sat_az_cdn", "sat_zen_cdn")
-             .join(cloudmask_df.select("url", "cloudmask"), "url")
-             .join(pot, "url")).localCheckpoint()
+    flags = _mat("dist_flags", lambda: (
+        p3.select("url", "cell_id", "r", "c", "nullmask",
+                  "water_test", "snow", "bt", "cell_rows",
+                  "g_tlow", "g_thigh", "sun_az", "sun_zen",
+                  "sat_az_cdn", "sat_zen_cdn")
+        .join(cloudmask_df.select("url", "cloudmask"), "url")
+        .join(pot, "url")))
 
     # --- stage 3: clumps (cross-tile CCL), renumbered to the
     # whole-scene scipy scan-order ids (rank of first-pixel linear idx)
@@ -348,11 +383,11 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     # kernels into one task (their byte size is small); a user-specified
     # repartition survives AQE and keeps the clump grain.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    px = (flags.join(clump_px.select("url", "cloud_id"), "url")
-          .repartition(n_part, "cell_id", "cloud_id")
-          .groupBy("cell_id", "cloud_id")
-          .applyInPandas(_clump_kernel, schema=_PX_SCHEMA)
-          .localCheckpoint())
+    px = _mat("dist_px", lambda: (
+        flags.join(clump_px.select("url", "cloud_id"), "url")
+        .repartition(n_part, "cell_id", "cloud_id")
+        .groupBy("cell_id", "cloud_id")
+        .applyInPandas(_clump_kernel, schema=_PX_SCHEMA)))
 
     # --- stage 5: per-clump windowed shadow match (cogrouped)
     cell_dim = flags.groupBy("cell_id").agg(
@@ -395,8 +430,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
             yield pd.DataFrame(
                 rows, columns=["cell_id", "cloud_id", "win_r0", "win_r1"])
 
-    windows = wdim0.mapInPandas(windows_map, schema=win_schema) \
-        .localCheckpoint()
+    windows = _mat("dist_windows", lambda: wdim0.mapInPandas(
+        windows_map, schema=win_schema))
 
     # Band the match: every clump whose window STARTS in a row band is
     # matched inside one task against ONE copy of the band raster
@@ -414,7 +449,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     T = C.TILE_SIZE
     # fresh leaf: both cogroup sides otherwise share the windows
     # lineage and its `band` attribute id is ambiguous to the analyzer
-    bands = wdim.select("cell_id", "band").distinct().localCheckpoint()
+    bands = _mat("dist_bands",
+                 lambda: wdim.select("cell_id", "band").distinct())
     band_tiles = bands.withColumn(
         "tile", F.explode(F.expr(
             f"sequence((band * {B}) div {T}, "

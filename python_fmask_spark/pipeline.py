@@ -55,20 +55,23 @@ def pass3_sql(table: str = "documents") -> str:
     return f"WITH {ctes} SELECT {cols} FROM pass3"
 
 
-# (session id, table) -> materialized view name. The pass-1 stage table
+# session -> {table: materialized view name}. The pass-1 stage table
 # is immutable for a given registered input, so every query in a session
 # shares ONE materialization (the reference's temp-raster reuse,
 # fmask/fmask.py:206-216); sources.register_views invalidates it when
-# the underlying input changes.
-_PASS1_CACHE: dict[tuple[int, str], str] = {}
+# the underlying input changes (including a rewrite of the parquet files
+# at the same path — the register identity folds in file mtimes/sizes).
+# WeakKeyDictionary on the session object: id(spark) integers can be
+# recycled after a session is garbage-collected.
+import weakref
+
+_PASS1_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" =     weakref.WeakKeyDictionary()
 
 
 def invalidate_pass1_cache(spark: SparkSession) -> None:
     """Drop this session's materialized pass-1 views (called when the
     registered input tables change underneath them)."""
-    sid = id(spark)
-    for key in [k for k in _PASS1_CACHE if k[0] == sid]:
-        view = _PASS1_CACHE.pop(key)
+    for view in _PASS1_CACHE.pop(spark, {}).values():
         try:
             spark.catalog.dropTempView(view)
         except Exception:
@@ -76,7 +79,9 @@ def invalidate_pass1_cache(spark: SparkSession) -> None:
 
 
 def materialize_pass1(spark: SparkSession, table: str = "documents",
-                      reuse: bool = True, runner=None) -> str:
+                      reuse: bool = True, runner=None,
+                      sensor: str = "LANDSAT8",
+                      s2_offsets: dict[str, int] | None = None) -> str:
     """Materialize pass 1 behind a leaf view and return the view name.
 
     Catalyst inlines deterministic CTEs per reference; the thresholds +
@@ -99,44 +104,56 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
     survives restarts and makes classify resumable mid-pipeline). Both
     forms register the same leaf view name, so every downstream plan is
     identical either way."""
-    view = f"_pass1_mat_{table}"
-    key = (id(spark), table)
-    if reuse and runner is None and _PASS1_CACHE.get(key) == view \
+    suffix = "" if sensor == "LANDSAT8" else f"_{sensor.lower()}"
+    view = f"_pass1_mat_{table}{suffix}"
+    cache = _PASS1_CACHE.setdefault(spark, {})
+    if reuse and runner is None and cache.get((table, sensor)) == view \
             and spark.catalog.tableExists(view):
         return view
     p1_ctes = ",\n".join([
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
-        derive.pass1_sql(SPARK),
+        derive.pass1_sql(SPARK, sensor=sensor, s2_offsets=s2_offsets),
     ])
     sql = f"WITH {p1_ctes} SELECT * FROM pass1"
     if runner is not None:
         import hashlib
         fp = hashlib.sha256(f"{table}:{sql}".encode()).hexdigest()[:16]
         p1 = runner.run("pass1", fp, lambda: spark.sql(sql))
-    else:
-        p1 = spark.sql(sql).localCheckpoint()
+        p1.createOrReplaceTempView(view)
+        # do NOT keep the session reuse cache pointing at this view: the
+        # stage table lives in the runner's workdir, whose lifetime the
+        # session does not control — a later cache hit would read a
+        # deleted parquet. Evicting forces the next plain call to
+        # rebuild its own localCheckpoint leaf.
+        cache.pop((table, sensor), None)
+        return view
+    p1 = spark.sql(sql).localCheckpoint()
     p1.createOrReplaceTempView(view)
-    _PASS1_CACHE[key] = view
+    cache[(table, sensor)] = view
     return view
 
 
-def tail_sql_from_pass1(pass1_view: str, upto: str, select: str) -> str:
+def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
+                        sensor: str = "LANDSAT8") -> str:
     """Thresholds/pass2/pass3 CTE chain over a materialized pass-1 view."""
     builders = [f"pass1 AS (SELECT * FROM {pass1_view})",
-                derive.thresholds_sql(SPARK)]
+                derive.thresholds_sql(SPARK, sensor=sensor)]
     if upto in ("pass2", "pass3"):
-        builders.append(derive.pass2_sql(SPARK))
+        builders.append(derive.pass2_sql(SPARK, sensor=sensor))
     if upto == "pass3":
-        builders.append(derive.pass3_sql(SPARK))
+        builders.append(derive.pass3_sql(SPARK, sensor=sensor))
     ctes = ",\n".join(builders)
     return f"WITH {ctes} {select}"
 
 
-def pass3_df(spark: SparkSession, table: str = "documents") -> DataFrame:
-    view = materialize_pass1(spark, table)
+def pass3_df(spark: SparkSession, table: str = "documents",
+             sensor: str = "LANDSAT8",
+             s2_offsets: dict[str, int] | None = None) -> DataFrame:
+    view = materialize_pass1(spark, table, sensor=sensor,
+                             s2_offsets=s2_offsets)
     cols = ", ".join(_KERNEL_COLS)
     return spark.sql(tail_sql_from_pass1(
-        view, "pass3", f"SELECT {cols} FROM pass3"))
+        view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor))
 
 
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
@@ -172,14 +189,18 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
         dil = kernels.dilate(cloud_m, params.cloud_buffer_px)
         return {"cloudbuf": maj, "cloud_m": cloud_m, "clouddil": dil}
 
+    # carry_url=False: url (the largest exchanged column) stays out of
+    # the halo sort and joins back on (cell_id, r, c) below, together
+    # with the digest — one JVM-side join instead of a fatter exchange.
     out = tiling.tiled_neighborhood_multi(
-        p3, fused,
+        p3.drop("url"), fused,
         in_cols=("cloud_raw", "nullmask"),
         out_cols=("cloudbuf", "cloud_m", "clouddil"),
         radius=1 + rad,
-        passthrough=("water_test", "snow"))
+        passthrough=("water_test", "snow"),
+        carry_url=False)
     out = out.select(
-        "url", "cell_id", "r", "c", "cloud_raw", "cloud_m", "clouddil",
+        "cell_id", "r", "c", "cloud_raw", "cloud_m", "clouddil",
         "nullmask", "water_test", "snow",
         F.expr(f"""cast(case
             when nullmask then {0}
@@ -187,7 +208,14 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
             when snow then {4}
             when water_test then {5}
             else {1} end as int)""").alias("fmask_class"))
-    return out.join(text_digests(spark, table), "url")
+    view = materialize_pass1(spark, table)
+    ident = spark.sql(
+        f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
+            FROM {view}""")
+    return (out.join(ident, ["cell_id", "r", "c"])
+            .select("url", "cell_id", "r", "c", "cloud_raw", "cloud_m",
+                    "clouddil", "nullmask", "water_test", "snow",
+                    "fmask_class", "text_sha256"))
 
 
 def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
@@ -279,7 +307,9 @@ FROM pass1""")
                         "cdi_milli int, pcp_cdi int, pcp_final int"))
 
 
-def scene_exchange(spark: SparkSession, table: str = "documents"
+def scene_exchange(spark: SparkSession, table: str = "documents",
+                   sensor: str = "LANDSAT8",
+                   s2_offsets: dict[str, int] | None = None
                    ) -> tuple[DataFrame, DataFrame]:
     """The slim scene-kernel exchange: (pixel frame, per-cell dim frame).
 
@@ -291,9 +321,11 @@ def scene_exchange(spark: SparkSession, table: str = "documents"
     over the pass-1 leaf (both map-side-combine JVM aggregates)."""
     from .operators.scene import DIM_COLS, PX_EXCHANGE_SQL
 
-    view = materialize_pass1(spark, table)
+    view = materialize_pass1(spark, table, sensor=sensor,
+                             s2_offsets=s2_offsets)
     px = spark.sql(tail_sql_from_pass1(
-        view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3"))
+        view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3",
+        sensor=sensor))
     ang = ", ".join(f"first({k}) AS {k}" for k in DIM_COLS[3:])
     dims = spark.sql(tail_sql_from_pass1(
         view, "thresholds",
@@ -305,15 +337,24 @@ def scene_exchange(spark: SparkSession, table: str = "documents"
             FROM thresholds t
             JOIN (SELECT cell_id, {ang}
                   FROM pass1 GROUP BY cell_id) a
-              ON a.cell_id = t.cell_id"""))
+              ON a.cell_id = t.cell_id""",
+        sensor=sensor))
     return px, dims
 
 
 def classify(spark: SparkSession, table: str = "documents",
-             params: FmaskParams | None = None) -> DataFrame:
+             params: FmaskParams | None = None,
+             cells: DataFrame | None = None,
+             cells_mode: str = "semi",
+             sensor: str = "LANDSAT8",
+             s2_offsets: dict[str, int] | None = None) -> DataFrame:
     """Full classification: returns (url, cell_id, r, c, fmask_class,
     cloud_id, ..., text_sha256). ``table`` must be a registered view
     with the raw documents schema.
+
+    ``cells`` (a small DataFrame of cell_id) restricts the run to
+    (``cells_mode="semi"``) or excludes (``"anti"``) those cells via a
+    broadcast join — classify_auto uses this to split the workload.
 
     Plan shape: the per-cell kernel exchanges ONLY the slim pixel frame
     (scene_exchange — 8 narrow fields, flags bit-packed, per-cell
@@ -325,17 +366,99 @@ def classify(spark: SparkSession, table: str = "documents",
     leaf, so the threshold/pass2/pass3 tail never re-derives text."""
     from .operators.scene import SCENE_OUT_SCHEMA_SLIM, scene_cogroup_kernel
 
+    from pyspark.sql import functions as F
+
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
-    px, dims = scene_exchange(spark, table)
-    out = (px.groupBy("cell_id")
-           .cogroup(dims.groupBy("cell_id"))
-           .applyInPandas(scene_cogroup_kernel(params),
-                          schema=SCENE_OUT_SCHEMA_SLIM))
-    view = materialize_pass1(spark, table)
+    px, dims = scene_exchange(spark, table, sensor=sensor,
+                              s2_offsets=s2_offsets)
+    view = materialize_pass1(spark, table, sensor=sensor,
+                             s2_offsets=s2_offsets)
     ident = spark.sql(
         f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
             FROM {view}""")
+    if cells is not None:
+        how = "left_semi" if cells_mode == "semi" else "left_anti"
+        px = px.join(F.broadcast(cells), "cell_id", how)
+        dims = dims.join(F.broadcast(cells), "cell_id", how)
+        ident = ident.join(F.broadcast(cells), "cell_id", how)
+    out = (px.groupBy("cell_id")
+           .cogroup(dims.groupBy("cell_id"))
+           .applyInPandas(
+               scene_cogroup_kernel(
+                   params, has_thermal=(sensor != "SENTINEL2")),
+               schema=SCENE_OUT_SCHEMA_SLIM))
     return (out.join(ident, ["cell_id", "r", "c"])
             .select("url", "cell_id", "r", "c", "fmask_class", "cloud_id",
                     "cloud_height_du", "cloud_base_temp_c", "text_sha256"))
+
+
+def classify_auto(spark: SparkSession, table: str = "documents",
+                  params: FmaskParams | None = None,
+                  row_threshold: int = 100_000,
+                  p3: DataFrame | None = None,
+                  digests: DataFrame | None = None) -> DataFrame:
+    """Cost-based per-cell dispatch between the whole-cell kernel and
+    the clump-parallel distributed path (one entry point; mirrors RIOS
+    picking the window grain, fmask/fmask.py:234).
+
+    Cells below ``row_threshold`` rows run as ONE kernel task each
+    (classify — lowest constant factor, measured best below ~10^5
+    rows/cell); cells at or above it run classify_distributed, whose
+    every stage has bounded task grain, so a Zipf-hot mega-cell is
+    never a straggler/OOM unit. The routing decision reads per-cell
+    counts from the materialized pass-1 leaf (one map-side-combine
+    aggregate); only the mega-cell ID LIST reaches the driver — small
+    by construction (a cell is routed distributed precisely because it
+    is rare and huge). Both paths produce bit-identical output
+    (tests/test_scene_dist.py), so the union is exact."""
+    from pyspark.sql import functions as F
+
+    from .operators.scene import SCENE_OUT_SCHEMA, classify_scene
+    from .operators.scene_dist import classify_distributed
+
+    params = params or FmaskParams()
+    if p3 is not None:
+        # pre-materialized pixel-table path (benchmarks / skew tests):
+        # count per cell on p3 itself and dispatch the same way
+        big_cells = (p3.groupBy("cell_id").count()
+                     .filter(F.col("count") >= row_threshold)
+                     .select("cell_id"))
+        if big_cells.count() == 0:
+            out = p3.groupBy("cell_id").applyInPandas(
+                lambda pdf: classify_scene(pdf, params),
+                schema=SCENE_OUT_SCHEMA)
+            return out.join(digests, "url") if digests is not None else out
+        big = big_cells.localCheckpoint()
+        p3_small = p3.join(F.broadcast(big), "cell_id", "left_anti")
+        small_out = p3_small.groupBy("cell_id").applyInPandas(
+            lambda pdf: classify_scene(pdf, params),
+            schema=SCENE_OUT_SCHEMA)
+        if digests is not None:
+            small_out = small_out.join(digests, "url")
+        p3_big = p3.join(F.broadcast(big), "cell_id", "left_semi") \
+            .localCheckpoint()
+        big_out = classify_distributed(spark, table, params,
+                                       p3=p3_big, digests=digests)
+        return small_out.unionByName(big_out.select(*small_out.columns))
+
+    view = materialize_pass1(spark, table)
+    big_cells = (spark.table(view).groupBy("cell_id").count()
+                 .filter(F.col("count") >= row_threshold)
+                 .select("cell_id"))
+    n_big = big_cells.count()
+    if n_big == 0:
+        return classify(spark, table, params)
+    big = big_cells.localCheckpoint()
+
+    small_out = classify(spark, table, params, cells=big, cells_mode="anti")
+
+    cols = ", ".join((*_KERNEL_COLS, "cell_rows"))
+    p3_big = (spark.sql(tail_sql_from_pass1(
+        view, "pass3", f"SELECT {cols} FROM pass3"))
+        .join(F.broadcast(big), "cell_id", "left_semi")
+        .localCheckpoint())
+    dig_big = text_digests(spark, table)
+    big_out = classify_distributed(spark, table, params,
+                                   p3=p3_big, digests=dig_big)
+    return small_out.unionByName(big_out.select(*small_out.columns))

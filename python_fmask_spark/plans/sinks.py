@@ -64,19 +64,42 @@ def write_mask(df: DataFrame, name: str,
     }
     staging = f"{name}__staging"
 
+    def looks_like_managed_mask_output(path: str) -> bool:
+        # Refuse to delete a directory that merely SHARES the table's
+        # lowercased name (e.g. external/unmanaged data parked under the
+        # warehouse): a stale managed mask table contains only Spark
+        # writer artifacts — partition dirs on the partition column,
+        # parquet part files, and/or a _SUCCESS marker.
+        try:
+            entries = os.listdir(path)
+        except OSError:
+            return False
+        if not entries:
+            return True
+        for e in entries:
+            ok = (e == "_SUCCESS" or e.startswith("_temporary")
+                  or e.startswith(f"{partition_col}=")
+                  or (e.startswith("part-") and ".parquet" in e)
+                  or e.startswith("."))
+            if not ok:
+                return False
+        return True
+
     def clear_stale_location(tbl: str) -> None:
         # The default session catalog is in-memory: a crashed previous
         # process leaves the managed-table DIRECTORY under the warehouse
         # while the new session's catalog has no entry, and create then
         # fails with LOCATION_ALREADY_EXISTS. Only remove the location
-        # when the catalog genuinely doesn't know the table.
+        # when the catalog genuinely doesn't know the table AND the
+        # directory's layout is a Spark-written mask table.
         import shutil
         if "." in tbl or spark.catalog.tableExists(tbl):
             return
         wh = spark.conf.get("spark.sql.warehouse.dir", "")
         wh = wh.removeprefix("file:")
         path = os.path.join(wh, tbl.lower())
-        if wh and os.path.isdir(path):
+        if wh and os.path.isdir(path) \
+                and looks_like_managed_mask_output(path):
             shutil.rmtree(path, ignore_errors=True)
 
     def attempt(provider: str) -> None:
@@ -85,6 +108,10 @@ def write_mask(df: DataFrame, name: str,
         # parquet fallback — has no createOrReplace): create under a
         # staging name first, and only drop + rename once the create has
         # SUCCEEDED — a failed create leaves the previous table intact.
+        # KNOWN WINDOW: between the DROP below and the RENAME there is
+        # no live table under ``name``; a crash in that window leaves
+        # the finished staging table to recover from manually. True
+        # atomic swap needs a V2/Iceberg catalog (REPLACE TABLE).
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
         clear_stale_location(staging)
         clear_stale_location(name)

@@ -8,6 +8,7 @@ fallback — same DataFrame surface, same pushdown behavior.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,21 +25,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# session id -> identity of the last-registered input (sf_dir or a
-# replicate tag); a change invalidates the session's pass-1 stage cache.
-_REGISTERED: dict[int, str] = {}
+# session -> identity of the last-registered input. Keyed by a
+# WeakKeyDictionary on the session object itself (NOT id(spark), whose
+# integer can be recycled after a session is garbage-collected), and the
+# identity string folds in each parquet file's (mtime_ns, size) so
+# rewriting the data at the SAME path also invalidates the session's
+# pass-1 stage cache.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" =     weakref.WeakKeyDictionary()
+
+
+def _input_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    parts = [sf_dir]
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(path)
+            if os.path.isdir(path):
+                sub = sorted(os.scandir(path), key=lambda e: e.name)
+                parts.append(f"{name}:" + ",".join(
+                    f"{e.stat().st_mtime_ns}/{e.stat().st_size}"
+                    for e in sub))
+            else:
+                parts.append(f"{name}:{st.st_mtime_ns}/{st.st_size}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    return "|".join(parts)
 
 
 def _note_input_change(spark: SparkSession, identity: str) -> None:
-    if _REGISTERED.get(id(spark)) != identity:
+    if _REGISTERED.get(spark) != identity:
         from .pipeline import invalidate_pass1_cache
         invalidate_pass1_cache(spark)
-        _REGISTERED[id(spark)] = identity
+        _REGISTERED[spark] = identity
 
 
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = TABLES) -> None:
-    _note_input_change(spark, sf_dir)
+    _note_input_change(spark, _input_fingerprint(sf_dir, tables))
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

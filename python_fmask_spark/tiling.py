@@ -68,8 +68,15 @@ def tiled_neighborhood(
     tile_rows: int = C.TILE_SIZE,
     out_type: str = "boolean",
     passthrough: tuple[str, ...] = (),
+    carry_url: bool = True,
 ) -> DataFrame:
     """Run a 2-D neighborhood kernel tile-parallel with halo exchange.
+
+    ``carry_url=False`` drops the url identity from the halo exchange —
+    (cell_id, r, c) identifies the pixel, and shipping the ~40-byte url
+    through the sort (twice, with halo duplication) was measured as the
+    morphology stage's largest spill contributor; callers join url back
+    JVM-side on (cell_id, r, c).
 
     ``kernel`` maps a bool/int raster slab -> same-shape array; it must
     use reflect borders (all kernels in operators/kernels.py do). The
@@ -84,13 +91,15 @@ def tiled_neighborhood(
     W = C.SCENE_WIDTH
     ensure_package_on_executors(df.sparkSession)
     passthrough = tuple(p for p in passthrough if p != in_col)
-    sel = ["url", "cell_id", "r", "c", in_col, *passthrough]
+    id_cols = (["url"] if carry_url else []) + ["cell_id", "r", "c"]
+    sel = [*id_cols, in_col, *passthrough]
     haloed = with_halo(df.select(*sel), radius, tile_rows)
 
     dtypes = dict(df.dtypes)
     pass_schema = "".join(
         f", {name} {dtypes[name]}" for name in (in_col, *passthrough))
-    schema = (f"url string, cell_id string, r int, c int, "
+    url_schema = "url string, " if carry_url else ""
+    schema = (f"{url_schema}cell_id string, r int, c int, "
               f"{out_col} {out_type}{pass_schema}")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -104,13 +113,15 @@ def tiled_neighborhood(
         res = kernel(arr)
         core = ~pdf["is_halo"].to_numpy()
         rr = r[core]
-        out = {
-            "url": pdf["url"].to_numpy()[core],
+        out = {}
+        if carry_url:
+            out["url"] = pdf["url"].to_numpy()[core]
+        out.update({
             "cell_id": pdf["cell_id"].to_numpy()[core],
             "r": rr.astype(np.int32),
             "c": pdf["c"].to_numpy()[core].astype(np.int32),
             out_col: res[rr - slab_lo, pdf["c"].to_numpy()[core]],
-        }
+        })
         for name in (in_col, *passthrough):
             out[name] = pdf[name].to_numpy()[core]
         return pd.DataFrame(out)
@@ -127,8 +138,12 @@ def tiled_neighborhood_multi(
     tile_rows: int = C.TILE_SIZE,
     out_type: str = "boolean",
     passthrough: tuple[str, ...] = (),
+    carry_url: bool = True,
 ) -> DataFrame:
     """Fused multi-stage neighborhood kernels over ONE halo shuffle.
+
+    ``carry_url=False``: see tiled_neighborhood — identity joins back
+    on (cell_id, r, c) instead of riding the halo sort.
 
     ``kernel`` maps {in_col: raster slab} -> {out_col: same-shape
     array}; ``radius`` must cover the composed reach (e.g. majority(1)
@@ -142,14 +157,16 @@ def tiled_neighborhood_multi(
     W = C.SCENE_WIDTH
     ensure_package_on_executors(df.sparkSession)
     passthrough = tuple(p for p in passthrough if p not in in_cols)
-    sel = ["url", "cell_id", "r", "c", *in_cols, *passthrough]
+    id_cols = (["url"] if carry_url else []) + ["cell_id", "r", "c"]
+    sel = [*id_cols, *in_cols, *passthrough]
     haloed = with_halo(df.select(*sel), radius, tile_rows)
 
     dtypes = dict(df.dtypes)
     out_schema = "".join(f", {name} {out_type}" for name in out_cols)
     pass_schema = "".join(
         f", {name} {dtypes[name]}" for name in (*in_cols, *passthrough))
-    schema = (f"url string, cell_id string, r int, c int"
+    url_schema = "url string, " if carry_url else ""
+    schema = (f"{url_schema}cell_id string, r int, c int"
               f"{out_schema}{pass_schema}")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -166,12 +183,14 @@ def tiled_neighborhood_multi(
         core = ~pdf["is_halo"].to_numpy()
         rr = r[core]
         cc = cc_all[core]
-        out = {
-            "url": pdf["url"].to_numpy()[core],
+        out = {}
+        if carry_url:
+            out["url"] = pdf["url"].to_numpy()[core]
+        out.update({
             "cell_id": pdf["cell_id"].to_numpy()[core],
             "r": rr.astype(np.int32),
             "c": cc.astype(np.int32),
-        }
+        })
         for name in out_cols:
             out[name] = res[name][rr - slab_lo, cc]
         for name in (*in_cols, *passthrough):

@@ -60,10 +60,15 @@ if mode == "wholecell":
            .applyInPandas(lambda pdf: classify_scene(pdf, params),
                           schema=SCENE_OUT_SCHEMA))
     n_out = out.count()
-else:
+elif mode == "distributed":
     from python_fmask_spark.operators.scene_dist import classify_distributed
     digests = spark.sql("SELECT url, 'x' AS text_sha256 FROM _skew_p3")
     out = classify_distributed(spark, p3=p3, digests=digests)
+    n_out = out.count()
+else:  # auto: cost-based dispatch (pipeline.classify_auto p3 path)
+    digests = spark.sql("SELECT url, 'x' AS text_sha256 FROM _skew_p3")
+    out = pipeline.classify_auto(spark, p3=p3, digests=digests,
+                                 row_threshold=100_000)
     n_out = out.count()
 wall = time.perf_counter() - t0
 spark.stop()
@@ -84,7 +89,7 @@ print(json.dumps({"mode": mode, "rows": n, "out": n_out,
 
 def main() -> None:
     results = {}
-    for mode in ("wholecell", "distributed"):
+    for mode in ("wholecell", "distributed", "auto"):
         with tempfile.TemporaryDirectory() as ev:
             out = subprocess.run(
                 [sys.executable, "-c", WORKER, mode, REP, ev],
@@ -98,9 +103,10 @@ def main() -> None:
             results[mode] = json.loads(line)
     print(json.dumps({
         "metric": "scene-stage max task ms, mega-cell skew "
-                  "(wholecell vs clump-parallel)",
+                  "(wholecell vs clump-parallel vs auto dispatch)",
         "wholecell": results["wholecell"],
         "distributed": results["distributed"],
+        "auto": results["auto"],
         "max_task_ratio": round(
             results["wholecell"]["scene_max_task_ms"]
             / max(1, results["distributed"]["scene_max_task_ms"]), 2),

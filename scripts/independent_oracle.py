@@ -207,7 +207,8 @@ def classify_scene_independent(pdf: pd.DataFrame,
                                cloud_buffer_px: float | None = None,
                                shadow_buffer_px: float | None = None,
                                x_res: float | None = None,
-                               y_res: float | None = None) -> pd.DataFrame:
+                               y_res: float | None = None,
+                               has_thermal: bool = True) -> pd.DataFrame:
     """One cell's pass-3 rows -> final per-url classification.
     Output schema matches operators.scene.classify_scene (incl.
     text_sha256 when present)."""
@@ -265,10 +266,12 @@ def classify_scene_independent(pdf: pd.DataFrame,
     clumps = label_bfs(cloudmask, eight_connected=True)
     n_clumps = int(clumps.max())
 
-    # --- 3-D clouds (cloudShapeFunc, fmask/fmask.py:896-951)
+    # --- 3-D clouds (cloudShapeFunc, fmask/fmask.py:896-951); with no
+    # thermal the clouds stay flat and base_temp stays EMPTY (every
+    # match runs at Tcloudbase = 0, fmask/fmask.py:913-951,1148-1152)
     cloud_shape = np.zeros((H, W), dtype=np.uint8)
     base_temp: dict[int, float] = {}
-    for cid in range(1, n_clumps + 1):
+    for cid in (range(1, n_clumps + 1) if has_thermal else ()):
         sel = clumps == cid
         bt_cloud = bt[sel].astype(np.float64).copy()
         n_pix = int(sel.sum())
@@ -318,7 +321,7 @@ def classify_scene_independent(pdf: pd.DataFrame,
         # matchOneShadow height sweep
         tl = 0.0 if t_low is None else t_low
         th = 10.0 if t_high is None else t_high
-        t_base = base_temp[cid]
+        t_base = base_temp.get(cid, 0)  # empty without thermal
         h_min_km = max(0.2, (tl - 4 - t_base) / 9.8)
         h_max_km = min(12, (th + 4 - t_base))
         h_lo = h_min_km * C.METRES_PER_KM

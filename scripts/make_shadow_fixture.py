@@ -45,8 +45,11 @@ KERNEL_COLS = ("url, cell_id, r, c, sha256(text) AS text_sha256, nir, bt, "
                "sat_az_cdn, sat_zen_cdn")
 
 
-def pass3_duckdb(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
-    ctes = oracle._ctes(DUCKDB, "pass3", angles=True)
+def pass3_duckdb(con: duckdb.DuckDBPyConnection,
+                 sensor: str = "LANDSAT8") -> pd.DataFrame:
+    offs = oracle.S2_ZERO_OFFSETS if sensor == "SENTINEL2" else None
+    ctes = oracle._ctes(DUCKDB, "pass3", angles=True, sensor=sensor,
+                        s2_offsets=offs)
     return con.execute(f"{ctes} SELECT {KERNEL_COLS} FROM pass3").df()
 
 
@@ -104,8 +107,27 @@ def main() -> None:
     shadow = pd.concat(shadow_parts, ignore_index=True)
     final.to_parquet(f"{OUT_DIR}/shadow_oracle_final.parquet", index=False)
     shadow.to_parquet(f"{OUT_DIR}/shadow_oracle_fill.parquet", index=False)
-    print(f"wrote {len(final)} final rows, {len(shadow)} fill rows "
-          f"to {OUT_DIR} (from {SF_DIR})")
+
+    # Sentinel-2 (no-thermal) regime: the full shadow chain with the
+    # thermal terms degenerate (flat clouds, Tcloudbase = 0, Tlow/Thigh
+    # -> 0/10 defaults, cloudmask3 off; fmask/fmask.py:645-649,747-748,
+    # 913-951). Independent transcription vs engine cross-assert, same
+    # as the L8 fixture.
+    p3s2 = pass3_duckdb(con, sensor="SENTINEL2")
+    s2_parts = []
+    for cell_id, pdf in p3s2.groupby("cell_id", sort=True):
+        pdf = pdf.reset_index(drop=True)
+        indep = classify_scene_independent(pdf, has_thermal=False)
+        engine = classify_scene(pdf, params, has_thermal=False)
+        pd.testing.assert_frame_equal(
+            indep.sort_values("url").reset_index(drop=True),
+            engine.sort_values("url").reset_index(drop=True),
+            check_dtype=True)
+        s2_parts.append(indep)
+    s2 = pd.concat(s2_parts, ignore_index=True)
+    s2.to_parquet(f"{OUT_DIR}/shadow_oracle_final_s2.parquet", index=False)
+    print(f"wrote {len(final)} final rows, {len(shadow)} fill rows, "
+          f"{len(s2)} s2 rows to {OUT_DIR} (from {SF_DIR})")
 
 
 if __name__ == "__main__":

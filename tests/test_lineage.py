@@ -45,3 +45,50 @@ def test_classify_checkpointed_resume(spark, sf_small):
         k = lambda r: (r.url,)  # noqa: E731
         assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
         assert len(out1) == 500
+
+
+def test_distributed_classify_resumes(spark, sf_small):
+    """classify_distributed(runner=...) materializes its five barriers
+    as fingerprinted stage tables. Simulate a mid-job crash by wiping
+    the LAST stages' markers: the rerun must (a) skip the completed
+    early stages (their stage parquet untouched), (b) rebuild only the
+    tail, (c) produce rows identical to the uninterrupted run and to
+    the session-scoped localCheckpoint path."""
+    import glob
+    import os
+
+    from python_fmask_spark.operators.scene_dist import classify_distributed
+
+    register_views(spark, sf_small)
+    baseline = sorted(
+        map(tuple, classify_distributed(spark).collect()))
+
+    with tempfile.TemporaryDirectory() as wd:
+        r1 = StageRunner(spark, wd, "d1")
+        out1 = sorted(map(tuple, classify_distributed(
+            spark, runner=r1).collect()))
+        assert out1 == baseline
+        markers = sorted(glob.glob(os.path.join(wd, "stage_*.json")))
+        stages = {os.path.basename(m) for m in markers}
+        assert {"stage_dist_p3._fingerprint.json",
+                "stage_dist_flags._fingerprint.json",
+                "stage_dist_px._fingerprint.json",
+                "stage_dist_windows._fingerprint.json",
+                "stage_dist_bands._fingerprint.json"} <= stages
+
+        early = os.path.join(wd, "stage_dist_p3")
+        early_mtime = os.path.getmtime(os.path.join(early, "_SUCCESS"))
+        # crash simulation: the windows + bands stages never finished
+        for st in ("dist_windows", "dist_bands"):
+            os.remove(os.path.join(wd, f"stage_{st}._fingerprint.json"))
+
+        r2 = StageRunner(spark, wd, "d2")
+        out2 = sorted(map(tuple, classify_distributed(
+            spark, runner=r2).collect()))
+        assert out2 == baseline
+        # completed early stage was NOT rewritten on resume
+        assert os.path.getmtime(
+            os.path.join(early, "_SUCCESS")) == early_mtime
+        # the torn-down tail stages were rebuilt
+        lin = r2.lineage().filter("run_id = 'd2'").collect()
+        assert {r.stage for r in lin} == {"dist_windows", "dist_bands"}

@@ -97,3 +97,26 @@ def test_eqn19_two_division_boundary(spark):
         .toPandas().sort_values("nir")["pot"].to_numpy())
     assert (got == np_form).all(), \
         f"{int((got != np_form).sum())}/12000 boundary pairs disagree"
+
+
+def test_distributed_min_cloud_size_matches_scene_kernel(spark, sf_small):
+    """min_cloud_size_px > 1 takes the 4-connected distributed CCL size
+    filter (the reference labels the size filter 4-conn,
+    fmask/fmask.py:762-767, while cloud clumps are 8-conn) — the
+    distributed path must match the whole-cell kernel bit-for-bit on a
+    threshold that actually removes sub-threshold clumps here."""
+    from python_fmask_spark.operators.scene import FmaskParams
+
+    register_views(spark, sf_small)
+    params = FmaskParams(min_cloud_size_px=3)
+    whole = _canon(pipeline.classify(spark, params=params))
+    dist = _canon(classify_distributed(spark, params=params))
+    assert whole.keys() == dist.keys()
+    diffs = {u: (whole[u], dist[u]) for u in whole if whole[u] != dist[u]}
+    assert not diffs, f"{len(diffs)} mismatching urls, e.g. " \
+        f"{list(diffs.items())[:3]}"
+    # the filter must be exercised: some cloud pixels of the unfiltered
+    # run disappear at threshold 3 (otherwise this test proves nothing)
+    base = _canon(pipeline.classify(spark))
+    assert any(base[u][0] == 2 and whole[u][0] != 2 for u in base), \
+        "threshold removed no clumps on this fixture; raise it"
