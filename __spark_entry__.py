@@ -155,13 +155,18 @@ def _potential_shadow_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
               cast(p.nir as bigint) AS nir,
               t.b4_17 * 10000.0 AS nir17_dn
             FROM pass1 p JOIN thresholds t ON t.cell_id = p.cell_id"""))
+    src = src.localCheckpoint()
     filled = fill_minima_distributed(src, "nir", nullval=0,
                                      boundary_col="nir17_dn")
-    return filled.selectExpr(
+    # identity joins back on the composite key — the fill fixpoint is
+    # url-free (no passthrough through up to 64 halo rounds)
+    return (filled.join(src.select("url", "cell_id", "r", "c"),
+                        ["cell_id", "r", "c"])
+            .selectExpr(
         "url", "cell_id", "r", "c", "nir", "filled",
         "cast(cast(filled as double) / 10000.0 -"
         " cast(nir as double) / 10000.0 > 0.02 as int)"
-        " AS potential_shadow")
+        " AS potential_shadow"))
 
 
 def _s2_cdi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,16 +101,19 @@ def fused(slabs):
     cloud_m = maj & ~slabs["nullmask"]
     return {"cloudbuf": maj, "cloud_m": cloud_m,
             "clouddil": kernels.dilate(cloud_m, params.cloud_buffer_px)}
-# carry_url=False + JVM-side identity join-back on (cell_id, r, c):
-# the pipeline's interim_class_kernel plan shape (url was the largest
-# exchanged column and the morph stage's main spill contributor)
+# carry_url=False: url (the largest exchanged column, pure passthrough
+# here) no longer rides the halo sort — the mask product stays keyed by
+# (cell_id, r, c); the pipeline's per-url export join is measured in
+# the scene stage below, where it replaces the old url-keyed digest
+# join (measured cost-neutral; a 41M-row identity SMJ added here on
+# top of the kernel would instead DOUBLE morph wall — tried, rejected)
 dil = tiling.tiled_neighborhood_multi(
     p3.drop("text_sha256", "url"), fused,
     in_cols=("cloud_raw", "nullmask"),
     out_cols=("cloudbuf", "cloud_m", "clouddil"),
     radius=1 + int(params.cloud_buffer_px),
     passthrough=("water_test", "snow"),
-    carry_url=False)     .join(p3.select("cell_id", "r", "c", "url"), ["cell_id", "r", "c"])
+    carry_url=False)
 n_morph = dil.count()
 wall_morph = time.perf_counter() - t0
 # descriptive stats outside the timed region
@@ -181,6 +184,11 @@ def _run(code: str, args: list[str], timeout: int = 2400,
                          capture_output=True, text=True, timeout=timeout,
                          cwd="/root/repo", env=env)
     if out.returncode != 0:
+        # local-cluster teardown is racy: the Worker's shutdown RPC can
+        # crash the JVM AFTER the measurement JSON was printed. Accept
+        # the run when its result line made it out; fail otherwise.
+        if any(ln.startswith("{") for ln in out.stdout.splitlines()):
+            return out.stdout
         raise RuntimeError(f"subprocess failed: {out.stderr[-2000:]}")
     return out.stdout
 

@@ -24,7 +24,7 @@ from . import kernels
 
 
 def _local_label_schema() -> str:
-    return ("url string, cell_id string, r int, c int, "
+    return ("cell_id string, r int, c int, "
             "tile int, local_label bigint")
 
 
@@ -38,13 +38,15 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
     identically in the per-tile kernel AND the seam join (a diagonal
     seam pair is an equivalence only under 8-connectivity).
 
-    Returns (url, cell_id, r, c, clump_id) for True pixels; clump_id is
+    Returns (cell_id, r, c, clump_id) for True pixels (identity joins
+    back on the composite key — no url passthrough rides the tile
+    shuffle or the seam join); clump_id is
     the linear index (r * W + c) of the component's first pixel in scan
     order — deterministic across any tiling/partitioning.
     """
     W = C.SCENE_WIDTH
     ensure_package_on_executors(df.sparkSession)
-    src = df.select("url", "cell_id", "r", "c", flag_col) \
+    src = df.select("cell_id", "r", "c", flag_col) \
             .filter(F.col(flag_col)) \
             .withColumn("tile", F.expr(f"r div {tile_rows}"))
 
@@ -65,7 +67,6 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
         rows = pdf["r"].to_numpy()
         cols = pdf["c"].to_numpy()
         return pd.DataFrame({
-            "url": pdf["url"].to_numpy(),
             "cell_id": pdf["cell_id"].to_numpy(),
             "r": rows.astype(np.int32),
             "c": cols.astype(np.int32),
@@ -129,8 +130,8 @@ def label_clumps_distributed(df: DataFrame, flag_col: str,
         out = (labeled.join(F.broadcast(map_df),
                             ["cell_id", "local_label"], "left")
                .withColumn("clump_id", F.coalesce("root", "local_label"))
-               .select("url", "cell_id", "r", "c", "clump_id"))
+               .select("cell_id", "r", "c", "clump_id"))
     else:
         out = labeled.withColumnRenamed("local_label", "clump_id") \
-            .select("url", "cell_id", "r", "c", "clump_id")
+            .select("cell_id", "r", "c", "clump_id")
     return out

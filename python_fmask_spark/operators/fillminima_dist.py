@@ -51,11 +51,12 @@ def fill_minima_distributed(df: DataFrame, img_col: str,
                             boundary_col: str | None = None) -> DataFrame:
     """Fill local minima of a per-cell raster column, tile-parallel.
 
-    df columns: url, cell_id, r, c, <img_col> (+ ``boundary_col`` for a
+    df columns: cell_id, r, c, <img_col> (+ ``boundary_col`` for a
     per-cell boundary value, e.g. the NIR 17.5-percentile DN the
-    reference uses, fmask/fmask.py:806). Returns the same rows +
-    ``filled`` (bigint; == <img_col> for null pixels, like the
-    reference). Results equal the whole-scene ``kernels.fill_minima``
+    reference uses, fmask/fmask.py:806; extra columns are ignored).
+    Returns (cell_id, r, c, <img_col>, ``filled``) — ``filled`` bigint,
+    == <img_col> for null pixels, like the reference. No identity
+    column rides the fixpoint; join url back on (cell_id, r, c). Results equal the whole-scene ``kernels.fill_minima``
     exactly (property-tested in tests/test_fillminima_dist.py).
     """
     W = C.SCENE_WIDTH
@@ -78,14 +79,18 @@ def fill_minima_distributed(df: DataFrame, img_col: str,
     bcol = (F.expr(f"first({boundary_col}) AS cell_bval") if boundary_col
             else F.expr(f"cast({boundaryval} as double) AS cell_bval"))
     bmeta = df.groupBy("cell_id").agg(bcol) if boundary_col else None
-    base = df.select("url", "cell_id", "r", "c", img_col)         .join(F.broadcast(meta), "cell_id")
+    # url never rides the fixpoint: each of the up-to-max_rounds halo
+    # exchanges would re-ship it as pure passthrough; identity joins
+    # back on (cell_id, r, c) at the caller when needed
+    base = df.select("cell_id", "r", "c", img_col) \
+        .join(F.broadcast(meta), "cell_id")
     if bmeta is not None:
         base = base.join(F.broadcast(bmeta), "cell_id")
     else:
         base = base.withColumn("cell_bval",
                                F.expr(f"cast({boundaryval} as double)"))
     base = base.withColumn("img2", F.lit(int(_UNSET))).localCheckpoint()
-    schema = ("url string, cell_id string, r int, c int, "
+    schema = ("cell_id string, r int, c int, "
               f"{img_col} bigint, h_max bigint, h_min bigint, "
               "cell_h int, cell_has_null int, cell_bval double, "
               "img2 bigint, changed int")
@@ -137,7 +142,6 @@ def fill_minima_distributed(df: DataFrame, img_col: str,
         prev = pdf["img2"].to_numpy()[core]
         changed = (out_img2 != prev).astype(np.int32)
         return pd.DataFrame({
-            "url": pdf["url"].to_numpy()[core],
             "cell_id": pdf["cell_id"].to_numpy()[core],
             "r": rr[core].astype(np.int32),
             "c": cc[core].astype(np.int32),
@@ -166,5 +170,5 @@ def fill_minima_distributed(df: DataFrame, img_col: str,
     return state.withColumn(
         "filled",
         F.expr(f"case when {img_col} = {nullval} then cast({nullval} as bigint) "
-               f"else img2 end")).select("url", "cell_id", "r", "c",
+               f"else img2 end")).select("cell_id", "r", "c",
                                          img_col, "filled")

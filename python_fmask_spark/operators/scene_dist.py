@@ -284,7 +284,7 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
 
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
-    fp = f"{table}:distv1"
+    fp = f"{table}:distv2"  # v2: url-free intermediate stage schemas
 
     def _mat(stage: str, build):
         """Stage barrier: fingerprinted stage table under a runner,
@@ -311,7 +311,7 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         # clumps' pixels flip cloud_raw off before the majority filter —
         # exactly classify_scene's sizes[clumps0] < min masking.
         lab4 = label_clumps_distributed(
-            raw.select("url", "cell_id", "r", "c", "cloud_raw"),
+            raw.select("cell_id", "r", "c", "cloud_raw"),
             "cloud_raw", eight_connected=False)
         small_px = (lab4
                     .join(lab4.groupBy("cell_id", "clump_id").count()
@@ -319,18 +319,24 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
                                   int(params.min_cloud_size_px))
                           .select("cell_id", "clump_id"),
                           ["cell_id", "clump_id"], "left_semi")
-                    .select("url").withColumn("small", F.lit(True)))
-        raw = (raw.join(small_px, "url", "left")
+                    .select("cell_id", "r", "c")
+                    .withColumn("small", F.lit(True)))
+        raw = (raw.join(small_px, ["cell_id", "r", "c"], "left")
                .withColumn("cloud_raw",
                            F.expr("cloud_raw and small is null"))
                .drop("small"))
+    # url never enters ANY intermediate stage: every per-pixel frame is
+    # keyed (cell_id, r, c) — int composite keys shuffle/join cheaper
+    # than a ~40-byte string, across all five stage barriers and the
+    # fill fixpoint's up-to-64 halo rounds. Identity + digest join back
+    # once at the end.
     maj = tiling.tiled_neighborhood(
-        raw.select("url", "cell_id", "r", "c", "cloud_raw", "nullmask"),
+        raw.select("cell_id", "r", "c", "cloud_raw", "nullmask"),
         kernels.majority3_buffer, "cloud_raw", "maj", radius=1,
-        passthrough=("nullmask",))
+        passthrough=("nullmask",), carry_url=False)
     cloudmask_df = maj.withColumn(
         "cloudmask", F.expr("maj and not nullmask")) \
-        .select("url", "cell_id", "r", "c", "cloudmask")
+        .select("cell_id", "r", "c", "cloudmask")
 
     # --- stage 2: potential shadow via distributed fill-minima.
     # The fixpoint needs ~H/tile_rows rounds for a fill wave to cross a
@@ -343,12 +349,12 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     fill_tile = max(C.TILE_SIZE, -(-int(h_max) // 16))
     filled = fill_minima_distributed(
         p3.withColumn("nir17_dn", F.expr(f"g_b4_17 * {C.TOA_SCALE}"))
-        .select("url", "cell_id", "r", "c",
+        .select("cell_id", "r", "c",
                 F.expr("cast(nir as bigint) as nir"), "nir17_dn"),
         "nir", nullval=C.REF_NULL_DN, boundary_col="nir17_dn",
         tile_rows=fill_tile)
     pot = filled.selectExpr(
-        "url",
+        "cell_id", "r", "c",
         # two-division form (filled/scale - nir/scale) matches
         # classify_scene and the reference doPotentialShadows exactly at
         # the threshold boundary (one-division (filled-nir)/scale flips
@@ -359,23 +365,23 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
 
     # per-pixel flag table for windows + finalize (one narrow frame)
     flags = _mat("dist_flags", lambda: (
-        p3.select("url", "cell_id", "r", "c", "nullmask",
+        p3.select("cell_id", "r", "c", "nullmask",
                   "water_test", "snow", "bt", "cell_rows",
                   "g_tlow", "g_thigh", "sun_az", "sun_zen",
                   "sat_az_cdn", "sat_zen_cdn")
-        .join(cloudmask_df.select("url", "cloudmask"), "url")
-        .join(pot, "url")))
+        .join(cloudmask_df, ["cell_id", "r", "c"])
+        .join(pot, ["cell_id", "r", "c"])))
 
     # --- stage 3: clumps (cross-tile CCL), renumbered to the
     # whole-scene scipy scan-order ids (rank of first-pixel linear idx)
     lab = label_clumps_distributed(
-        flags.select("url", "cell_id", "r", "c", "cloudmask"), "cloudmask")
+        flags.select("cell_id", "r", "c", "cloudmask"), "cloudmask")
     renum = (lab.select("cell_id", "clump_id").distinct()
              .withColumn("cloud_id", F.expr(
                  "row_number() over (partition by cell_id "
                  "order by clump_id)").cast("bigint")))
     clump_px = (lab.join(F.broadcast(renum), ["cell_id", "clump_id"])
-                .select("url", "cell_id", "r", "c", "cloud_id"))
+                .select("cell_id", "r", "c", "cloud_id"))
 
     # --- stage 4: per-clump 3-D shape + shadow template (task == clump)
     # Explicit repartition on the group key: AQE's size-based coalescing
@@ -384,7 +390,7 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     # repartition survives AQE and keeps the clump grain.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     px = _mat("dist_px", lambda: (
-        flags.join(clump_px.select("url", "cloud_id"), "url")
+        flags.join(clump_px, ["cell_id", "r", "c"])
         .repartition(n_part, "cell_id", "cloud_id")
         .groupBy("cell_id", "cloud_id")
         .applyInPandas(_clump_kernel, schema=_PX_SCHEMA)))
@@ -479,7 +485,7 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
 
     # --- stage 6: fused buffers (shadow r=3, cloud r=2) + finalize
     shadow_px = matched.withColumn("shadow_raw", F.lit(True))
-    base = (flags.select("url", "cell_id", "r", "c", "cloudmask",
+    base = (flags.select("cell_id", "r", "c", "cloudmask",
                          "nullmask", "water_test", "snow")
             .join(shadow_px, ["cell_id", "r", "c"], "left")
             .withColumn("shadow_raw",
@@ -499,14 +505,15 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     buf = tiling.tiled_neighborhood_multi(
         base, fused, in_cols=("shadow_raw", "cloudmask"),
         out_cols=("shadow_dil", "cloud_dil"), radius=rad,
-        passthrough=("nullmask", "water_test", "snow"))
+        passthrough=("nullmask", "water_test", "snow"),
+        carry_url=False)
 
     out = buf.join(
         px.select("cell_id", "r", "c", "cloud_id", "height_du",
                   "base_temp_c"),
         ["cell_id", "r", "c"], "left")
     out = out.selectExpr(
-        "url", "cell_id", "r", "c",
+        "cell_id", "r", "c",
         f"""cast(case
             when nullmask then {C.OUTCODE_NULL}
             when cloud_dil then {C.OUTCODE_CLOUD}
@@ -517,6 +524,11 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         "cast(coalesce(cloud_id, 0) as bigint) AS cloud_id",
         "cast(coalesce(height_du, 0) as int) AS cloud_height_du",
         "base_temp_c AS cloud_base_temp_c")
+    # identity + digest join back, once, at the very end
     if digests is None:
         digests = pipeline.text_digests(spark, table)
-    return out.join(digests, "url")
+    ident = p3.select("url", "cell_id", "r", "c")
+    return (out.join(ident, ["cell_id", "r", "c"])
+            .join(digests, "url")
+            .select("url", "cell_id", "r", "c", "fmask_class", "cloud_id",
+                    "cloud_height_du", "cloud_base_temp_c", "text_sha256"))
