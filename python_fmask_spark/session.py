@@ -57,6 +57,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 64 MB advisory target sizes coalesced partitions
+        # for JVM scans; the sorts feeding applyInPandas blow past
+        # per-task execution memory at that size (UnsafeRow in-memory is
+        # several x the shuffle bytes) and spill. A smaller advisory
+        # keeps the per-task sort resident (measured: morphology stage
+        # spill 5 GB -> ~0 at rep8192; override via env if needed).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PART", "16m"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for all pandas UDF exchange (tile kernels).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -139,11 +139,20 @@ def tiled_neighborhood_multi(
     out_type: str = "boolean",
     passthrough: tuple[str, ...] = (),
     carry_url: bool = True,
+    pack_bools: bool = True,
 ) -> DataFrame:
     """Fused multi-stage neighborhood kernels over ONE halo shuffle.
 
     ``carry_url=False``: see tiled_neighborhood — identity joins back
     on (cell_id, r, c) instead of riding the halo sort.
+
+    ``pack_bools=True`` (default) packs every boolean input/passthrough
+    column into ONE tinyint bitmask for the halo exchange: the sort
+    feeding applyInPandas stores each field in an 8-byte UnsafeRow
+    slot, so k booleans cost 8k bytes there — the bitmask makes that 8
+    total. The kernel sees ordinary unpacked slabs and the output
+    schema is unchanged (Arrow transfers bools as bits either way; only
+    the JVM-side exchange width changes).
 
     ``kernel`` maps {in_col: raster slab} -> {out_col: same-shape
     array}; ``radius`` must cover the composed reach (e.g. majority(1)
@@ -158,26 +167,49 @@ def tiled_neighborhood_multi(
     ensure_package_on_executors(df.sparkSession)
     passthrough = tuple(p for p in passthrough if p not in in_cols)
     id_cols = (["url"] if carry_url else []) + ["cell_id", "r", "c"]
-    sel = [*id_cols, *in_cols, *passthrough]
-    haloed = with_halo(df.select(*sel), radius, tile_rows)
-
     dtypes = dict(df.dtypes)
+    data_cols = (*in_cols, *passthrough)
+    packed = tuple(n for n in data_cols
+                   if dtypes[n] == "boolean") if pack_bools else ()
+    unpacked = tuple(n for n in data_cols if n not in packed)
+    if len(packed) > 1:
+        pack_expr = " + ".join(f"{1 << i} * cast({n} as int)"
+                               for i, n in enumerate(packed))
+        pre = df.select(
+            *id_cols,
+            F.expr(f"cast({pack_expr} as tinyint)").alias("_bf"),
+            *unpacked)
+        wire_cols = ("_bf", *unpacked)
+    else:
+        packed = ()
+        pre = df.select(*id_cols, *data_cols)
+        wire_cols = data_cols
+    haloed = with_halo(pre, radius, tile_rows)
+
     out_schema = "".join(f", {name} {out_type}" for name in out_cols)
     pass_schema = "".join(
-        f", {name} {dtypes[name]}" for name in (*in_cols, *passthrough))
+        f", {name} {dtypes[name]}" for name in data_cols)
     url_schema = "url string, " if carry_url else ""
     schema = (f"{url_schema}cell_id string, r int, c int"
               f"{out_schema}{pass_schema}")
+    del wire_cols  # documentation only; run() reads _bf/unpacked
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         r = pdf["r"].to_numpy()
         slab_lo = r.min()
         h = r.max() - slab_lo + 1
         cc_all = pdf["c"].to_numpy()
+        cols = {}
+        if packed:
+            bf = pdf["_bf"].to_numpy()
+            for i, name in enumerate(packed):
+                cols[name] = (bf & (1 << i)) != 0
+        for name in unpacked:
+            cols[name] = pdf[name].to_numpy()
         slabs = {}
         for name in in_cols:
             arr = np.zeros((h, W), dtype=bool)
-            arr[r - slab_lo, cc_all] = pdf[name].to_numpy().astype(bool)
+            arr[r - slab_lo, cc_all] = cols[name].astype(bool)
             slabs[name] = arr
         res = kernel(slabs)
         core = ~pdf["is_halo"].to_numpy()
@@ -193,8 +225,8 @@ def tiled_neighborhood_multi(
         })
         for name in out_cols:
             out[name] = res[name][rr - slab_lo, cc]
-        for name in (*in_cols, *passthrough):
-            out[name] = pdf[name].to_numpy()[core]
+        for name in data_cols:
+            out[name] = cols[name][core]
         return pd.DataFrame(out)
 
     return haloed.groupBy("cell_id", "tile").applyInPandas(run, schema=schema)
