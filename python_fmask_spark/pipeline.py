@@ -134,10 +134,19 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
 
 
 def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
-                        sensor: str = "LANDSAT8") -> str:
-    """Thresholds/pass2/pass3 CTE chain over a materialized pass-1 view."""
+                        sensor: str = "LANDSAT8",
+                        thresholds_view: str | None = None) -> str:
+    """Thresholds/pass2/pass3 CTE chain over a materialized pass-1 view.
+
+    ``thresholds_view`` substitutes a materialized thresholds leaf for
+    the (textually large) thresholds CTE — Catalyst re-analyzes the
+    window-function stack per consumer otherwise, which dominates wall
+    time at small scale and is pure waste at any scale (thresholds is a
+    per-cell dim, rows == cells)."""
     builders = [f"pass1 AS (SELECT * FROM {pass1_view})",
-                derive.thresholds_sql(SPARK, sensor=sensor)]
+                (f"thresholds AS (SELECT * FROM {thresholds_view})"
+                 if thresholds_view
+                 else derive.thresholds_sql(SPARK, sensor=sensor))]
     if upto in ("pass2", "pass3"):
         builders.append(derive.pass2_sql(SPARK, sensor=sensor))
     if upto == "pass3":
@@ -146,14 +155,40 @@ def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
     return f"WITH {ctes} {select}"
 
 
+def materialize_thresholds(spark: SparkSession, table: str = "documents",
+                           sensor: str = "LANDSAT8",
+                           s2_offsets: dict[str, int] | None = None) -> str:
+    """Materialize the per-cell thresholds dim (rows == cells, tiny)
+    behind a leaf view, session-cached like pass 1. Every tail consumer
+    (pass2/pass3/dims) then references a leaf instead of re-analyzing
+    the 6-window-function thresholds CTE."""
+    suffix = "" if sensor == "LANDSAT8" else f"_{sensor.lower()}"
+    view = f"_thr_mat_{table}{suffix}"
+    cache = _PASS1_CACHE.setdefault(spark, {})
+    key = ("thr", table, sensor)
+    if cache.get(key) == view and spark.catalog.tableExists(view):
+        return view
+    p1view = materialize_pass1(spark, table, sensor=sensor,
+                               s2_offsets=s2_offsets)
+    sql = (f"WITH pass1 AS (SELECT * FROM {p1view}), "
+           f"{derive.thresholds_sql(SPARK, sensor=sensor)} "
+           f"SELECT * FROM thresholds")
+    spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+    cache[key] = view
+    return view
+
+
 def pass3_df(spark: SparkSession, table: str = "documents",
              sensor: str = "LANDSAT8",
              s2_offsets: dict[str, int] | None = None) -> DataFrame:
     view = materialize_pass1(spark, table, sensor=sensor,
                              s2_offsets=s2_offsets)
+    thr = materialize_thresholds(spark, table, sensor=sensor,
+                                 s2_offsets=s2_offsets)
     cols = ", ".join(_KERNEL_COLS)
     return spark.sql(tail_sql_from_pass1(
-        view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor))
+        view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
+        thresholds_view=thr))
 
 
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
@@ -323,9 +358,11 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
 
     view = materialize_pass1(spark, table, sensor=sensor,
                              s2_offsets=s2_offsets)
+    thr = materialize_thresholds(spark, table, sensor=sensor,
+                                 s2_offsets=s2_offsets)
     px = spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3",
-        sensor=sensor))
+        sensor=sensor, thresholds_view=thr))
     ang = ", ".join(f"first({k}) AS {k}" for k in DIM_COLS[3:])
     dims = spark.sql(tail_sql_from_pass1(
         view, "thresholds",
@@ -338,7 +375,7 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
             JOIN (SELECT cell_id, {ang}
                   FROM pass1 GROUP BY cell_id) a
               ON a.cell_id = t.cell_id""",
-        sensor=sensor))
+        sensor=sensor, thresholds_view=thr))
     return px, dims
 
 
