@@ -432,7 +432,7 @@ def classify(spark: SparkSession, table: str = "documents",
 
 def classify_auto(spark: SparkSession, table: str = "documents",
                   params: FmaskParams | None = None,
-                  row_threshold: int = 100_000,
+                  row_threshold: int = 2_000_000,
                   p3: DataFrame | None = None,
                   digests: DataFrame | None = None) -> DataFrame:
     """Cost-based per-cell dispatch between the whole-cell kernel and
@@ -440,10 +440,18 @@ def classify_auto(spark: SparkSession, table: str = "documents",
     picking the window grain, fmask/fmask.py:234).
 
     Cells below ``row_threshold`` rows run as ONE kernel task each
-    (classify — lowest constant factor, measured best below ~10^5
-    rows/cell); cells at or above it run classify_distributed, whose
-    every stage has bounded task grain, so a Zipf-hot mega-cell is
-    never a straggler/OOM unit. The routing decision reads per-cell
+    (classify — lowest constant factor; the whole-cell kernel wins on
+    wall clock far beyond 10^6 rows/cell because the distributed
+    path's extra stage barriers cost 10-30x CPU at small sizes); cells
+    at or above it run classify_distributed, whose every stage has
+    bounded task grain, so a Zipf-hot mega-cell is never a
+    straggler/OOM unit. The 2M default is a MEMORY bound, not a wall
+    crossover: a 2M-row cell's kernel working set is ~300 MB of NumPy
+    slabs (10 H x 8 arrays + the Arrow frame), safely inside a
+    multi-task executor heap, while 10x that risks per-task OOM — and
+    scripts/bench_skew_scene.py (round 3) measured the distributed
+    max task staying bounded (~11 s) at 4M-row cells while the
+    whole-cell task grows linearly. The routing decision reads per-cell
     counts from the materialized pass-1 leaf (one map-side-combine
     aggregate); only the mega-cell ID LIST reaches the driver — small
     by construction (a cell is routed distributed precisely because it

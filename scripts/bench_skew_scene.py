@@ -67,8 +67,7 @@ elif mode == "distributed":
     n_out = out.count()
 else:  # auto: cost-based dispatch (pipeline.classify_auto p3 path)
     digests = spark.sql("SELECT url, 'x' AS text_sha256 FROM _skew_p3")
-    out = pipeline.classify_auto(spark, p3=p3, digests=digests,
-                                 row_threshold=100_000)
+    out = pipeline.classify_auto(spark, p3=p3, digests=digests)
     n_out = out.count()
 wall = time.perf_counter() - t0
 spark.stop()
