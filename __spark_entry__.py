@@ -51,6 +51,9 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
         d, s2_offsets=oracle.S2_ZERO_OFFSETS),
     "fmask_interim_class_s2_offset": lambda d: oracle.q_fmask_interim_class_s2(
         d, s2_offsets=_s2_fixture_offsets()),
+    "fmask_interim_class_s2_cdi": lambda d:
+        oracle.q_fmask_interim_class_s2_cdi(
+            d, s2_offsets=oracle.S2_ZERO_OFFSETS),
     # dedup family
     "dedup_exact": dedup.q_exact_dedup,
     "dedup_minhash_signatures": dedup.q_minhash_signatures,
@@ -201,6 +204,40 @@ def _fmask_final_class_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = classify_distributed(spark)
     return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
                           "cloud_id", "cloud_height_du", "text_sha256")
+
+
+def _fmask_interim_class_s2_cdi(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """CDI displacement test COMPOSED with the pipeline (the reference
+    applies it inside pass 1 and everything downstream consumes it,
+    fmask/fmask.py:395-412): Spark materializes a CDI-modified pass-1
+    leaf (per-cell Arrow kernel) and runs thresholds/pass2/pass3/
+    morphology over it; the oracle renders the same composition in
+    pure SQL (recursive-CTE CDI + redefined pass1). pcp_i/clear_land_i
+    expose the modified pass-1 columns so the hash is sensitive to the
+    CDI effect itself (66/500 rows differ at sf0.01), not just the
+    smoothed final class."""
+    register_views(spark, sf_dir)
+    df = pipeline.interim_class_kernel(
+        spark, sensor="SENTINEL2", s2_offsets=oracle.S2_ZERO_OFFSETS,
+        s2_cdi=True)
+    # class from the MAJORITY buffer (cloud_m == cloudbuf AND NOT null),
+    # matching the S2 interim oracle form (q_fmask_interim_class_s2's
+    # CASE uses cloudbuf_flag, not the dilated mask)
+    df = df.selectExpr(
+        "url", "cell_id", "r", "c",
+        "cast(case when nullmask then 0 when cloud_m then 2 "
+        "when snow then 4 when water_test then 5 else 1 end as int)"
+        " AS fmask_class")
+    leaf = pipeline.materialize_pass1(
+        spark, sensor="SENTINEL2", s2_offsets=oracle.S2_ZERO_OFFSETS,
+        s2_cdi=True)
+    p1 = spark.sql(f"""SELECT cell_id, r, c,
+        cast(pcp as int) AS pcp_i,
+        cast(clear_land as int) AS clear_land_i FROM {leaf}""")
+    return (df.join(p1, ["cell_id", "r", "c"])
+            .select("url", "cell_id", "r", "c", "fmask_class",
+                    "pcp_i", "clear_land_i"))
 
 
 def _fmask_final_class_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_dist"] = _fmask_final_class_dist
     out["fmask_final_class_auto"] = _fmask_final_class_auto
     out["fmask_final_class_s2"] = _fmask_final_class_s2
+    out["fmask_interim_class_s2_cdi"] = _fmask_interim_class_s2_cdi
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
     return out

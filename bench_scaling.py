@@ -178,8 +178,10 @@ def _run(code: str, args: list[str], timeout: int = 2400,
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_EXEC_MEM_MB", str(EXEC_MEM_MB[0]))
     # local mode: executors live in the driver JVM — window sorts over
-    # 40M+ rows need real heap (the box has 125G)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # 40M+ rows need real heap. Cluster mode: tasks run in executor
+    # JVMs; an oversized driver only steals page cache from them.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM",
+                   "12g" if "cluster" in args else "48g")
     out = subprocess.run(cmd,
                          capture_output=True, text=True, timeout=timeout,
                          cwd="/root/repo", env=env)

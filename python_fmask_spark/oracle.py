@@ -153,33 +153,17 @@ SELECT cell_id, count(*) AS n_docs,
 FROM pass1 GROUP BY cell_id"""
 
 
-def q_s2_cdi(d: str, s2_offsets: dict[str, int] | None = None) -> str:
-    """DuckDB oracle for the Sentinel-2 displacement test (W4; Frantz
-    2018 CDI, fmask/fmask.py:398-406 + calcCDI :1412-1429): band-ratio
-    focal variances over a 7x7 reflect-border window, CDI with
-    divide-by-zero guard and float32 rounding, confident selection
-    (cdi < -0.5) eroded by one 4-connected pixel, region-grown to
-    fixpoint within (cdi < -0.25) via a RECURSIVE CTE, and the PCP
-    restricted to the grown selection before the cirrus/saturation OR.
-
-    The Spark side runs the tiled kernel path (pipeline.s2_cdi_pcp);
-    this SQL form is the independent oracle.
-
-    Assumes every cell has >= 4 rows (reflect window radius 3): the
-    single-level reflect index below mirrors np.pad 'reflect' only when
-    one reflection lands in range. A shorter cell would re-reflect out
-    of range, the LEFT JOIN row would be NULL, and sum()/49 would
-    silently average fewer than 49 terms — diverging from the kernel's
-    multi-reflect np.pad. The synthetic layout guarantees cells of
-    SCENE_WIDTH-row-major shape with >= 4 rows at every tested sf."""
+def _cdi_cte_block(d: str, offs: dict[str, int],
+                   src: str = "pass1") -> str:
+    """The CDI chain (focal variances -> CDI -> eroded confident
+    selection -> recursive region grow) as a CTE block over ``src``
+    (a pass-1-shaped CTE). Ends with the ``grown`` CTE; consumers join
+    ``grown`` (by url) to read the displacement-test selection and the
+    ``cdi`` CTE for per-pixel CDI values. DuckDB dialect only."""
     if d == SPARK:
         raise NotImplementedError(
-            "Spark runs the kernel path (pipeline.s2_cdi_pcp); the SQL "
+            "Spark runs the kernel path (pipeline._cdi_kernel); the SQL "
             "rendering is the DuckDB oracle only")
-    from .sen2meta import require_s2_offsets
-    offs = require_s2_offsets(s2_offsets)
-    ctes = _ctes(d, "pass1", sensor="SENTINEL2", s2_offsets=offs)
-    body = ctes[len("WITH "):]
     ref8a = derive._ref("nir8a", offs.get("nir8a", 0))
     ref7 = derive._ref("nir7", offs.get("nir7", 0))
     win = 7
@@ -194,15 +178,14 @@ def q_s2_cdi(d: str, s2_offsets: dict[str, int] | None = None) -> str:
               f"when p.c + o.dc >= {W} then 2 * {W} - (p.c + o.dc) - 1 "
               f"else p.c + o.dc end)")
     n2 = win * win
-    return f"""WITH RECURSIVE {body},
-cdi0 AS (
+    return f"""cdi0 AS (
   SELECT url, cell_id, r, c, cell_rows, nullmask,
     (basic_test AND whiteness0 < {C.EQN2_WHITENESS_THRESH}
      AND haze_test AND b45_test) AS pcp6,
     cirrus_band_test, sat_and_bright,
     cast(cast(ref_nir / {ref8a} as REAL) as double) AS r88,
     cast(cast({ref7} / {ref8a} as REAL) as double) AS r87
-  FROM pass1
+  FROM {src}
 ),
 offs49 AS (SELECT * FROM (VALUES {offsets}) AS v(dr, dc)),
 var0 AS (
@@ -240,7 +223,38 @@ grown AS (
   FROM grown g JOIN rg m ON m.cell_id = g.cell_id
     AND ((abs(m.r - g.r) = 1 AND m.c = g.c)
          OR (m.r = g.r AND abs(m.c - g.c) = 1))
-)
+)"""
+
+
+def q_s2_cdi(d: str, s2_offsets: dict[str, int] | None = None) -> str:
+    """DuckDB oracle for the Sentinel-2 displacement test (W4; Frantz
+    2018 CDI, fmask/fmask.py:398-406 + calcCDI :1412-1429): band-ratio
+    focal variances over a 7x7 reflect-border window, CDI with
+    divide-by-zero guard and float32 rounding, confident selection
+    (cdi < -0.5) eroded by one 4-connected pixel, region-grown to
+    fixpoint within (cdi < -0.25) via a RECURSIVE CTE, and the PCP
+    restricted to the grown selection before the cirrus/saturation OR.
+
+    The Spark side runs the tiled kernel path (pipeline.s2_cdi_pcp);
+    this SQL form is the independent oracle.
+
+    Assumes every cell has >= 4 rows (reflect window radius 3): the
+    single-level reflect index below mirrors np.pad 'reflect' only when
+    one reflection lands in range. A shorter cell would re-reflect out
+    of range, the LEFT JOIN row would be NULL, and sum()/49 would
+    silently average fewer than 49 terms — diverging from the kernel's
+    multi-reflect np.pad. The synthetic layout guarantees cells of
+    SCENE_WIDTH-row-major shape with >= 4 rows at every tested sf."""
+    if d == SPARK:
+        raise NotImplementedError(
+            "Spark runs the kernel path (pipeline.s2_cdi_pcp); the SQL "
+            "rendering is the DuckDB oracle only")
+    from .sen2meta import require_s2_offsets
+    offs = require_s2_offsets(s2_offsets)
+    ctes = _ctes(d, "pass1", sensor="SENTINEL2", s2_offsets=offs)
+    body = ctes[len("WITH "):]
+    return f"""WITH RECURSIVE {body},
+{_cdi_cte_block(d, offs)}
 SELECT c.url, c.cell_id, c.r, c.c,
   cast(case when c.cdi32 >= 0
        then floor(cast(c.cdi32 as double) * 1000 + 0.5)
@@ -260,6 +274,72 @@ LEFT JOIN (SELECT DISTINCT url FROM grown) g ON g.url = c.url"""
 S2_ZERO_OFFSETS = {b: 0 for b in
                    ("blue", "green", "red", "nir", "swir1", "swir2",
                     "cirrus")}
+
+
+def q_fmask_interim_class_s2_cdi(d: str,
+                                 s2_offsets: dict[str, int] | None = None
+                                 ) -> str:
+    """Interim classification with the CDI displacement test applied
+    INSIDE pass 1 (setSen2displacementTest; fmask/fmask.py:395-412):
+    pcp becomes the CDI-filtered PCP and every downstream consumer —
+    clear_land, the thresholds histograms, pass 2/3, the majority
+    buffer — reads the modified pass 1. DuckDB renders the CDI chain
+    as the recursive-CTE SQL form; the Spark engine runs the per-cell
+    CDI kernel (pipeline.materialize_pass1(s2_cdi=True)), so the
+    driver compare proves kernel-composed == SQL-composed end-to-end.
+
+    Mechanically: the rendered pass-1 CTE is renamed pass1_raw, the
+    CDI block runs over it, and ``pass1`` is redefined as pass1_raw
+    with pcp (and its one dependent column clear_land) replaced — the
+    thresholds/pass2/pass3/majority CTE text then composes unchanged."""
+    if d == SPARK:
+        raise NotImplementedError(
+            "Spark runs the kernel-composed pipeline; this SQL "
+            "rendering is the DuckDB oracle only")
+    from .sen2meta import require_s2_offsets
+    offs = require_s2_offsets(s2_offsets)
+    full = _ctes(d, "majority", sensor="SENTINEL2", s2_offsets=offs)
+    body = full[len("WITH "):]
+    # rename the pass-1 CTE; downstream references get the CDI form
+    assert body.count("pass1 AS (") == 1
+    head, tail = body.split("pass1 AS (", 1)
+    # tail = <pass1 body>) , <thresholds...majority ctes + final select?>
+    # _ctes(upto="majority") returns only CTE text; split at the CTE
+    # boundary of the NEXT cte after pass1: find the matching close of
+    # the pass1 CTE by the derive text's structure "\n)" at depth 0 —
+    # derive renders each CTE body ending with "FROM p1d\n)".
+    idx = tail.index("\n),\n")
+    p1_body, rest = tail[:idx], tail[idx + len("\n),\n"):]
+    cdi = _cdi_cte_block(d, offs, src="pass1_raw")
+    return f"""WITH RECURSIVE {head}pass1_raw AS ({p1_body}
+),
+{cdi},
+pass1 AS MATERIALIZED (
+  SELECT p.* REPLACE (
+    (p1c.pcp_cdi_final) AS pcp,
+    (NOT p.nullmask AND NOT p1c.pcp_cdi_final
+     AND NOT p.water_test) AS clear_land)
+  FROM pass1_raw p
+  JOIN (SELECT c.url,
+          (NOT c.nullmask AND
+           ((g.url IS NOT NULL AND c.pcp6) OR c.cirrus_band_test
+            OR c.sat_and_bright)) AS pcp_cdi_final
+        FROM cdi c
+        LEFT JOIN (SELECT DISTINCT url FROM grown) g ON g.url = c.url
+       ) p1c ON p1c.url = p.url
+),
+{rest}
+SELECT cb.url, cb.cell_id, cb.r, cb.c,
+  cast(case
+    when cb.nullmask then {C.OUTCODE_NULL}
+    when cb.cloudbuf_flag and not cb.nullmask then {C.OUTCODE_CLOUD}
+    when cb.snow then {C.OUTCODE_SNOW}
+    when cb.water_test then {C.OUTCODE_WATER}
+    else {C.OUTCODE_CLEAR}
+  end as int) AS fmask_class,
+  cast(p.pcp as int) AS pcp_i,
+  cast(p.clear_land as int) AS clear_land_i
+FROM cloudbuf cb JOIN pass1 p ON p.url = cb.url"""
 
 
 def q_fmask_interim_class_s2(d: str,

@@ -81,7 +81,8 @@ def invalidate_pass1_cache(spark: SparkSession) -> None:
 def materialize_pass1(spark: SparkSession, table: str = "documents",
                       reuse: bool = True, runner=None,
                       sensor: str = "LANDSAT8",
-                      s2_offsets: dict[str, int] | None = None) -> str:
+                      s2_offsets: dict[str, int] | None = None,
+                      s2_cdi: bool = False) -> str:
     """Materialize pass 1 behind a leaf view and return the view name.
 
     Catalyst inlines deterministic CTEs per reference; the thresholds +
@@ -104,11 +105,44 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
     survives restarts and makes classify resumable mid-pipeline). Both
     forms register the same leaf view name, so every downstream plan is
     identical either way."""
-    suffix = "" if sensor == "LANDSAT8" else f"_{sensor.lower()}"
+    skey = sensor + ("_cdi" if s2_cdi else "")
+    suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_pass1_mat_{table}{suffix}"
     cache = _PASS1_CACHE.setdefault(spark, {})
-    if reuse and runner is None and cache.get((table, sensor)) == view \
+    if reuse and runner is None and cache.get((table, skey)) == view \
             and spark.catalog.tableExists(view):
+        return view
+    if s2_cdi:
+        # The reference applies the CDI displacement test INSIDE pass 1
+        # when setSen2displacementTest is on (fmask/fmask.py:395-412):
+        # pcp becomes the CDI-filtered PCP and everything downstream
+        # (clear_land, the thresholds histograms, pass 2/3) consumes
+        # it. Build the raw S2 pass-1 leaf, run the per-cell CDI kernel
+        # over it, and replace pcp + its one dependent column.
+        from pyspark.sql import functions as F
+
+        from .sen2meta import require_s2_offsets
+        if sensor != "SENTINEL2":
+            raise ValueError("s2_cdi requires sensor='SENTINEL2' "
+                             "(fmask/config.py:388-394)")
+        offs = require_s2_offsets(s2_offsets)
+        ensure_package_on_executors(spark)
+        raw_view = materialize_pass1(spark, table, reuse=reuse,
+                                     sensor=sensor, s2_offsets=s2_offsets)
+        kout = (spark.sql(
+            f"SELECT {_cdi_src_select(offs)} FROM {raw_view}")
+            .groupBy("cell_id").applyInPandas(
+                _cdi_kernel, schema=_CDI_OUT_SCHEMA)
+            .select("cell_id", "r", "c",
+                    F.expr("cast(pcp_final as boolean) AS _pcp_cdi")))
+        mod = (spark.table(raw_view)
+               .join(kout, ["cell_id", "r", "c"])
+               .withColumn("pcp", F.col("_pcp_cdi"))
+               .withColumn("clear_land", F.expr(
+                   "NOT nullmask AND NOT pcp AND NOT water_test"))
+               .drop("_pcp_cdi"))
+        mod.localCheckpoint().createOrReplaceTempView(view)
+        cache[(table, skey)] = view
         return view
     p1_ctes = ",\n".join([
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
@@ -125,11 +159,11 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
         # session does not control — a later cache hit would read a
         # deleted parquet. Evicting forces the next plain call to
         # rebuild its own localCheckpoint leaf.
-        cache.pop((table, sensor), None)
+        cache.pop((table, skey), None)
         return view
     p1 = spark.sql(sql).localCheckpoint()
     p1.createOrReplaceTempView(view)
-    cache[(table, sensor)] = view
+    cache[(table, skey)] = view
     return view
 
 
@@ -157,19 +191,21 @@ def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
 
 def materialize_thresholds(spark: SparkSession, table: str = "documents",
                            sensor: str = "LANDSAT8",
-                           s2_offsets: dict[str, int] | None = None) -> str:
+                           s2_offsets: dict[str, int] | None = None,
+                           s2_cdi: bool = False) -> str:
     """Materialize the per-cell thresholds dim (rows == cells, tiny)
     behind a leaf view, session-cached like pass 1. Every tail consumer
     (pass2/pass3/dims) then references a leaf instead of re-analyzing
     the 6-window-function thresholds CTE."""
-    suffix = "" if sensor == "LANDSAT8" else f"_{sensor.lower()}"
+    skey = sensor + ("_cdi" if s2_cdi else "")
+    suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_thr_mat_{table}{suffix}"
     cache = _PASS1_CACHE.setdefault(spark, {})
-    key = ("thr", table, sensor)
+    key = ("thr", table, skey)
     if cache.get(key) == view and spark.catalog.tableExists(view):
         return view
     p1view = materialize_pass1(spark, table, sensor=sensor,
-                               s2_offsets=s2_offsets)
+                               s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     sql = (f"WITH pass1 AS (SELECT * FROM {p1view}), "
            f"{derive.thresholds_sql(SPARK, sensor=sensor)} "
            f"SELECT * FROM thresholds")
@@ -180,11 +216,12 @@ def materialize_thresholds(spark: SparkSession, table: str = "documents",
 
 def pass3_df(spark: SparkSession, table: str = "documents",
              sensor: str = "LANDSAT8",
-             s2_offsets: dict[str, int] | None = None) -> DataFrame:
+             s2_offsets: dict[str, int] | None = None,
+             s2_cdi: bool = False) -> DataFrame:
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets)
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     thr = materialize_thresholds(spark, table, sensor=sensor,
-                                 s2_offsets=s2_offsets)
+                                 s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     cols = ", ".join(_KERNEL_COLS)
     return spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
@@ -192,7 +229,10 @@ def pass3_df(spark: SparkSession, table: str = "documents",
 
 
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
-                         params: FmaskParams | None = None) -> DataFrame:
+                         params: FmaskParams | None = None,
+                         sensor: str = "LANDSAT8",
+                         s2_offsets: dict[str, int] | None = None,
+                         s2_cdi: bool = False) -> DataFrame:
     """Interim classification (no shadow chain) via the tiled-kernel path:
     pass3 columns -> ONE fused tile pass (3x3 majority + mask + circular
     dilation, halo = 1 + buffer radius) -> precedence CASE. Matches the
@@ -212,7 +252,8 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
     params = params or FmaskParams()
     # persist: with_halo explodes its input — without a materialization
     # point Spark recomputes the whole pass-1..3 derivation per consumer.
-    p3 = pass3_df(spark, table).select(
+    p3 = pass3_df(spark, table, sensor=sensor, s2_offsets=s2_offsets,
+                  s2_cdi=s2_cdi).select(
         "url", "cell_id", "r", "c", "nullmask",
         "water_test", "snow", "cloud_raw").localCheckpoint()
 
@@ -243,7 +284,8 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
             when snow then {4}
             when water_test then {5}
             else {1} end as int)""").alias("fmask_class"))
-    view = materialize_pass1(spark, table)
+    view = materialize_pass1(spark, table, sensor=sensor,
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     ident = spark.sql(
         f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
             FROM {view}""")
@@ -251,6 +293,75 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
             .select("url", "cell_id", "r", "c", "cloud_raw", "cloud_m",
                     "clouddil", "nullmask", "water_test", "snow",
                     "fmask_class", "text_sha256"))
+
+
+def _cdi_src_select(offs: dict[str, int]) -> str:
+    """Per-pixel columns the CDI kernel consumes (cdi0 in the oracle)."""
+    from . import constants as C
+
+    ref8a = derive._ref("nir8a", offs.get("nir8a", 0))
+    ref7 = derive._ref("nir7", offs.get("nir7", 0))
+    return f"""url, cell_id, r, c, nullmask,
+  (basic_test AND whiteness0 < {C.EQN2_WHITENESS_THRESH}
+   AND haze_test AND b45_test) AS pcp6,
+  cirrus_band_test, sat_and_bright,
+  cast(cast(ref_nir / {ref8a} as float) as double) AS r88,
+  cast(cast({ref7} / {ref8a} as float) as double) AS r87"""
+
+
+def _cdi_kernel(pdf):
+    """One cell's CDI chain (calcCDI, fmask/fmask.py:1412-1429 +
+    application :398-406): 7x7 focal variances of the float32 band
+    ratios, CDI with zero-denominator guard, confident selection
+    eroded then region-grown to fixpoint, PCP restricted to the grown
+    selection before the cirrus/saturation OR."""
+    import numpy as np
+    import pandas as pd
+
+    from . import constants as C
+    from .operators import kernels
+
+    H = int(pdf["r"].max()) + 1
+    W = C.SCENE_WIDTH
+    rr = pdf["r"].to_numpy()
+    cc = pdf["c"].to_numpy()
+
+    def rast(col, fill, dtype):
+        a = np.full((H, W), fill, dtype=dtype)
+        a[rr, cc] = pdf[col].to_numpy().astype(dtype)
+        return a
+
+    r88 = rast("r88", 0.0, np.float64)
+    r87 = rast("r87", 0.0, np.float64)
+    pcp6 = rast("pcp6", False, bool)
+    null = rast("nullmask", True, bool)
+    cirrus = rast("cirrus_band_test", False, bool)
+    sat = rast("sat_and_bright", False, bool)
+
+    v88 = kernels.focal_variance(r88, 7)
+    v87 = kernels.focal_variance(r87, 7)
+    cdi = np.zeros((H, W), dtype=np.float32)
+    ok = (v87 + v88) != 0
+    cdi[ok] = (v87[ok] - v88[ok]) / (v87[ok] + v88[ok])
+
+    pcp_cdi = kernels.cdi_pcp_filter(pcp6, cdi)
+    pcp_final = ~null & (pcp_cdi | cirrus | sat)
+    c64 = cdi.astype(np.float64)
+    cdi_milli = np.where(
+        c64 >= 0, np.floor(c64 * 1000 + 0.5),
+        -np.floor(-c64 * 1000 + 0.5)).astype(np.int32)
+    return pd.DataFrame({
+        "url": pdf["url"].to_numpy(),
+        "cell_id": pdf["cell_id"].to_numpy(),
+        "r": rr.astype("int32"), "c": cc.astype("int32"),
+        "cdi_milli": cdi_milli[rr, cc],
+        "pcp_cdi": pcp_cdi[rr, cc].astype("int32"),
+        "pcp_final": pcp_final[rr, cc].astype("int32"),
+    })
+
+
+_CDI_OUT_SCHEMA = ("url string, cell_id string, r int, c int, "
+                   "cdi_milli int, pcp_cdi int, pcp_final int")
 
 
 def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
@@ -266,13 +377,6 @@ def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
     kernel (focal variance + erosion + fixpoint grow are whole-scene
     ops, exactly the reference's per-scene stage). Oracle:
     oracle.q_s2_cdi's SQL form incl. a RECURSIVE region-grow CTE."""
-    import numpy as np
-    import pandas as pd
-
-    from . import constants as C
-    from . import oracle
-    from .operators import kernels
-
     from .sen2meta import require_s2_offsets
 
     ensure_package_on_executors(spark)
@@ -286,60 +390,10 @@ def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
                             angles=False),
         derive.pass1_sql(SPARK, sensor="SENTINEL2", s2_offsets=offs),
     ])
-    ref8a = derive._ref("nir8a", offs.get("nir8a", 0))
-    ref7 = derive._ref("nir7", offs.get("nir7", 0))
-    src = spark.sql(f"""WITH {ctes}
-SELECT url, cell_id, r, c, nullmask,
-  (basic_test AND whiteness0 < {C.EQN2_WHITENESS_THRESH}
-   AND haze_test AND b45_test) AS pcp6,
-  cirrus_band_test, sat_and_bright,
-  cast(cast(ref_nir / {ref8a} as float) as double) AS r88,
-  cast(cast({ref7} / {ref8a} as float) as double) AS r87
-FROM pass1""")
-
-    W = C.SCENE_WIDTH
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        H = int(pdf["r"].max()) + 1
-        rr = pdf["r"].to_numpy()
-        cc = pdf["c"].to_numpy()
-
-        def rast(col, fill, dtype):
-            a = np.full((H, W), fill, dtype=dtype)
-            a[rr, cc] = pdf[col].to_numpy().astype(dtype)
-            return a
-
-        r88 = rast("r88", 0.0, np.float64)
-        r87 = rast("r87", 0.0, np.float64)
-        pcp6 = rast("pcp6", False, bool)
-        null = rast("nullmask", True, bool)
-        cirrus = rast("cirrus_band_test", False, bool)
-        sat = rast("sat_and_bright", False, bool)
-
-        v88 = kernels.focal_variance(r88, 7)
-        v87 = kernels.focal_variance(r87, 7)
-        cdi = np.zeros((H, W), dtype=np.float32)
-        ok = (v87 + v88) != 0
-        cdi[ok] = (v87[ok] - v88[ok]) / (v87[ok] + v88[ok])
-
-        pcp_cdi = kernels.cdi_pcp_filter(pcp6, cdi)
-        pcp_final = ~null & (pcp_cdi | cirrus | sat)
-        c64 = cdi.astype(np.float64)
-        cdi_milli = np.where(
-            c64 >= 0, np.floor(c64 * 1000 + 0.5),
-            -np.floor(-c64 * 1000 + 0.5)).astype(np.int32)
-        return pd.DataFrame({
-            "url": pdf["url"].to_numpy(),
-            "cell_id": pdf["cell_id"].to_numpy(),
-            "r": rr.astype(np.int32), "c": cc.astype(np.int32),
-            "cdi_milli": cdi_milli[rr, cc],
-            "pcp_cdi": pcp_cdi[rr, cc].astype(np.int32),
-            "pcp_final": pcp_final[rr, cc].astype(np.int32),
-        })
-
+    src = spark.sql(
+        f"WITH {ctes} SELECT {_cdi_src_select(offs)} FROM pass1")
     return src.groupBy("cell_id").applyInPandas(
-        kernel, schema=("url string, cell_id string, r int, c int, "
-                        "cdi_milli int, pcp_cdi int, pcp_final int"))
+        _cdi_kernel, schema=_CDI_OUT_SCHEMA)
 
 
 def scene_exchange(spark: SparkSession, table: str = "documents",

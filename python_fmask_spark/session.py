@@ -75,6 +75,20 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if master.startswith("local-cluster"):
+        # local-cluster[N, cores, mem]'s third field caps the WORKER;
+        # spark.executor.memory still defaults to 1g, which silently
+        # strangles every sort to ~75 MB/task before spilling (measured:
+        # 3-8 GB spill at rep8192 that no worker-memory increase could
+        # remove). Size the executor heap from the worker grant but cap
+        # it — N over-sized heaps on one box evict the page cache and
+        # thrash (measured: 4 x 15g heaps doubled a stage's p50).
+        # Override with SPARK_GRAFT_EXECUTOR_MEM_MB.
+        worker_mb = int(master.split(",")[2].rstrip("]").strip())
+        exec_mb = int(os.environ.get(
+            "SPARK_GRAFT_EXECUTOR_MEM_MB",
+            str(min(max(worker_mb - 1024, 1024), 6144))))
+        builder = builder.config("spark.executor.memory", f"{exec_mb}m")
     # Stage-level evidence for scaling runs (parsed by
     # scripts/stage_metrics.py): shuffle bytes, spill, GC per stage.
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
