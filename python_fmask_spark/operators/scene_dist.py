@@ -100,23 +100,31 @@ _PX_SCHEMA = ("cell_id string, cloud_id bigint, r int, c int, "
               "sat_az_m double, sat_zen_m double, tr int, tc int")
 
 
-def _clump_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+def _clump_kernel(pdf: pd.DataFrame,
+                  has_thermal: bool = True) -> pd.DataFrame:
     """Per-clump 3-D cloud shape (cloudShapeFunc, fmask/fmask.py:896-951)
     + cloud-top shadow projection (makeCloudShadowShapes,
     fmask/fmask.py:959-1060). Scan-order sort reproduces the whole-scene
-    kernel's summation order bit-for-bit."""
+    kernel's summation order bit-for-bit. Without thermal the cloud is
+    a flat 2-D shape and the match runs at Tcloudbase = 0 with NaN
+    reported as the base temperature, matching classify_scene's
+    no-thermal regime (fmask/fmask.py:913-951, matchShadows:1148-1152)."""
     pdf = pdf.sort_values(["r", "c"]).reset_index(drop=True)
-    bt_cloud = pdf["bt"].to_numpy().astype(np.float64).copy()
     n_pix = len(pdf)
-    R = np.sqrt(n_pix / (2 * np.pi))
-    if R >= 8:
-        pct = 100.0 * (R - 8.0) ** 2 / (R ** 2)
-        t_base = float(np.percentile(bt_cloud, pct))
+    if has_thermal:
+        bt_cloud = pdf["bt"].to_numpy().astype(np.float64).copy()
+        R = np.sqrt(n_pix / (2 * np.pi))
+        if R >= 8:
+            pct = 100.0 * (R - 8.0) ** 2 / (R ** 2)
+            t_base = float(np.percentile(bt_cloud, pct))
+        else:
+            t_base = float(bt_cloud.min())
+        bt_cloud[bt_cloud > t_base] = t_base
+        h_rel = (t_base - bt_cloud) / C.LAPSE_RATE_WET
+        height_du = np.round(h_rel * C.CLOUD_HEIGHT_SCALE).astype(np.uint8)
     else:
-        t_base = float(bt_cloud.min())
-    bt_cloud[bt_cloud > t_base] = t_base
-    h_rel = (t_base - bt_cloud) / C.LAPSE_RATE_WET
-    height_du = np.round(h_rel * C.CLOUD_HEIGHT_SCALE).astype(np.uint8)
+        t_base = float("nan")  # reported; the sweep maps NaN -> 0
+        height_du = np.zeros(n_pix, dtype=np.uint8)
 
     sun_az = float(pdf["sun_az"].iloc[0])
     sun_zen = float(pdf["sun_zen"].iloc[0])
@@ -163,8 +171,11 @@ def _match_one(trs, tcs, scal, cloud, pot, null, win_r0, wh, H):
     overlap) of the best placement above the 0.3 acceptance, or None."""
     W = C.SCENE_WIDTH
     x_res, y_res = C.X_RES, C.Y_RES
+    t_base = scal["base_temp_c"]
+    if isinstance(t_base, float) and math.isnan(t_base):
+        t_base = 0.0  # no-thermal regime: Tcloudbase = 0
     (num_steps, *_rest, place) = _sweep_bounds(
-        scal["base_temp_c"], scal["g_tlow"], scal["g_thigh"],
+        t_base, scal["g_tlow"], scal["g_thigh"],
         scal["sun_az"], scal["sun_zen"], scal["sat_az_m"],
         scal["sat_zen_m"], x_res, y_res)
     trow0 = int(trs.min())
@@ -263,7 +274,9 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
                          params: FmaskParams | None = None,
                          p3: DataFrame | None = None,
                          digests: DataFrame | None = None,
-                         runner=None) -> DataFrame:
+                         runner=None,
+                         sensor: str = "LANDSAT8",
+                         s2_offsets: dict[str, int] | None = None) -> DataFrame:
     """Full classification with bounded task grains (see module doc).
     Returns the same schema as pipeline.classify.
 
@@ -284,7 +297,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
 
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
-    fp = f"{table}:distv2"  # v2: url-free intermediate stage schemas
+    has_thermal = sensor != "SENTINEL2"
+    fp = f"{table}:{sensor}:distv2"  # v2: url-free intermediate schemas
 
     def _mat(stage: str, build):
         """Stage barrier: fingerprinted stage table under a runner,
@@ -296,10 +310,16 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         return build().localCheckpoint()
 
     if p3 is None:
-        view = pipeline.materialize_pass1(spark, table, runner=runner)
+        view = pipeline.materialize_pass1(spark, table, runner=runner,
+                                          sensor=sensor,
+                                          s2_offsets=s2_offsets)
+        thr = (None if runner is not None else
+               pipeline.materialize_thresholds(spark, table, sensor=sensor,
+                                               s2_offsets=s2_offsets))
         cols = ", ".join((*pipeline._KERNEL_COLS, "cell_rows"))
         p3 = _mat("dist_p3", lambda: spark.sql(pipeline.tail_sql_from_pass1(
-            view, "pass3", f"SELECT {cols} FROM pass3")))
+            view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
+            thresholds_view=thr)))
 
     # --- stage 1: interim cloud mask, tiled (cloudFinalPass tail)
     raw = p3
@@ -393,7 +413,9 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         flags.join(clump_px, ["cell_id", "r", "c"])
         .repartition(n_part, "cell_id", "cloud_id")
         .groupBy("cell_id", "cloud_id")
-        .applyInPandas(_clump_kernel, schema=_PX_SCHEMA)))
+        .applyInPandas(
+            lambda pdf: _clump_kernel(pdf, has_thermal=has_thermal),
+            schema=_PX_SCHEMA)))
 
     # --- stage 5: per-clump windowed shadow match (cogrouped)
     cell_dim = flags.groupBy("cell_id").agg(
@@ -423,8 +445,11 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         for pdf in batches:
             rows = []
             for t in pdf.itertuples(index=False):
+                tb = float(t.base_temp_c)
+                if math.isnan(tb):
+                    tb = 0.0  # no-thermal regime: Tcloudbase = 0
                 (num_steps, *_rest, place) = _sweep_bounds(
-                    float(t.base_temp_c), float(t.g_tlow),
+                    tb, float(t.g_tlow),
                     float(t.g_thigh), float(t.sun_az), float(t.sun_zen),
                     float(t.sat_az_m), float(t.sat_zen_m),
                     C.X_RES, C.Y_RES)

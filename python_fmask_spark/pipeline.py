@@ -488,7 +488,9 @@ def classify_auto(spark: SparkSession, table: str = "documents",
                   params: FmaskParams | None = None,
                   row_threshold: int = 2_000_000,
                   p3: DataFrame | None = None,
-                  digests: DataFrame | None = None) -> DataFrame:
+                  digests: DataFrame | None = None,
+                  sensor: str = "LANDSAT8",
+                  s2_offsets: dict[str, int] | None = None) -> DataFrame:
     """Cost-based per-cell dispatch between the whole-cell kernel and
     the clump-parallel distributed path (one entry point; mirrors RIOS
     picking the window grain, fmask/fmask.py:234).
@@ -541,23 +543,31 @@ def classify_auto(spark: SparkSession, table: str = "documents",
                                        p3=p3_big, digests=digests)
         return small_out.unionByName(big_out.select(*small_out.columns))
 
-    view = materialize_pass1(spark, table)
+    view = materialize_pass1(spark, table, sensor=sensor,
+                             s2_offsets=s2_offsets)
     big_cells = (spark.table(view).groupBy("cell_id").count()
                  .filter(F.col("count") >= row_threshold)
                  .select("cell_id"))
     n_big = big_cells.count()
     if n_big == 0:
-        return classify(spark, table, params)
+        return classify(spark, table, params, sensor=sensor,
+                        s2_offsets=s2_offsets)
     big = big_cells.localCheckpoint()
 
-    small_out = classify(spark, table, params, cells=big, cells_mode="anti")
+    small_out = classify(spark, table, params, cells=big,
+                         cells_mode="anti", sensor=sensor,
+                         s2_offsets=s2_offsets)
 
+    thr = materialize_thresholds(spark, table, sensor=sensor,
+                                 s2_offsets=s2_offsets)
     cols = ", ".join((*_KERNEL_COLS, "cell_rows"))
     p3_big = (spark.sql(tail_sql_from_pass1(
-        view, "pass3", f"SELECT {cols} FROM pass3"))
+        view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
+        thresholds_view=thr))
         .join(F.broadcast(big), "cell_id", "left_semi")
         .localCheckpoint())
     dig_big = text_digests(spark, table)
     big_out = classify_distributed(spark, table, params,
-                                   p3=p3_big, digests=dig_big)
+                                   p3=p3_big, digests=dig_big,
+                                   sensor=sensor, s2_offsets=s2_offsets)
     return small_out.unionByName(big_out.select(*small_out.columns))

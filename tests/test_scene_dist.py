@@ -120,3 +120,22 @@ def test_distributed_min_cloud_size_matches_scene_kernel(spark, sf_small):
     base = _canon(pipeline.classify(spark))
     assert any(base[u][0] == 2 and whole[u][0] != 2 for u in base), \
         "threshold removed no clumps on this fixture; raise it"
+
+
+def test_distributed_s2_no_thermal_matches_scene_kernel(spark, sf_small):
+    """Sensor dispatch on the distributed path: classify_distributed
+    (sensor=SENTINEL2) — flat clouds, Tcloudbase=0 sweeps, NaN base
+    temps, NULL BT thresholds — must match pipeline.classify's
+    no-thermal output bit-for-bit."""
+    from python_fmask_spark import oracle
+
+    register_views(spark, sf_small)
+    offs = oracle.S2_ZERO_OFFSETS
+    whole = _canon(pipeline.classify(spark, sensor="SENTINEL2",
+                                     s2_offsets=offs))
+    dist = _canon(classify_distributed(spark, sensor="SENTINEL2",
+                                       s2_offsets=offs))
+    assert whole.keys() == dist.keys()
+    diffs = {u: (whole[u], dist[u]) for u in whole if whole[u] != dist[u]}
+    assert not diffs, f"{len(diffs)} mismatching urls, e.g. " \
+        f"{list(diffs.items())[:3]}"
