@@ -206,6 +206,31 @@ def _fmask_final_class_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cloud_id", "cloud_height_du", "text_sha256")
 
 
+def _fmask_final_class_s2_cdi(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """FULL shadow-chain classify with the CDI displacement test
+    composed into pass 1 (setSen2displacementTest end-to-end,
+    fmask/fmask.py:395-412 + the no-thermal doFmask): the engine runs
+    the CDI kernel -> modified pass-1 leaf -> thresholds/pass2/pass3 ->
+    slim-exchange scene kernel; the oracle fixture replays the SAME
+    composition from DuckDB SQL (recursive-CTE CDI) through the
+    independent second transcription. pcp_i carries the composed
+    pass-1 PCP so the hash sees the CDI effect directly."""
+    register_views(spark, sf_dir)
+    out = pipeline.classify(spark, sensor="SENTINEL2",
+                            s2_offsets=oracle.S2_ZERO_OFFSETS,
+                            s2_cdi=True)
+    leaf = pipeline.materialize_pass1(
+        spark, sensor="SENTINEL2", s2_offsets=oracle.S2_ZERO_OFFSETS,
+        s2_cdi=True)
+    p1 = spark.sql(
+        f"SELECT cell_id, r, c, cast(pcp as int) AS pcp_i FROM {leaf}")
+    return (out.join(p1, ["cell_id", "r", "c"])
+            .selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                        "cloud_id", "cloud_height_du", "text_sha256",
+                        "pcp_i"))
+
+
 def _fmask_interim_class_s2_cdi(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:
     """CDI displacement test COMPOSED with the pipeline (the reference
@@ -428,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_auto"] = _fmask_final_class_auto
     out["fmask_final_class_s2"] = _fmask_final_class_s2
     out["fmask_interim_class_s2_cdi"] = _fmask_interim_class_s2_cdi
+    out["fmask_final_class_s2_cdi"] = _fmask_final_class_s2_cdi
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
     return out
@@ -472,6 +498,11 @@ FROM read_parquet('{_FIXTURES}/shadow_oracle_fill.parquet')"""
 SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
        text_sha256
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2.parquet')"""
+    # S2 + CDI composed end-to-end (pcp_i = the composed pass-1 PCP)
+    out["fmask_final_class_s2_cdi"] = f"""
+SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
+       text_sha256, pcp_i
+FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2_cdi.parquet')"""
     out["mask_sink_roundtrip"] = _mask_sink_oracle()
     out["stream_pass1_counts"] = _stream_pass1_oracle()
     return out

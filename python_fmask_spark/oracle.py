@@ -276,6 +276,46 @@ S2_ZERO_OFFSETS = {b: 0 for b in
                     "cirrus")}
 
 
+def _ctes_s2_cdi(d: str, upto: str, offs: dict[str, int],
+                 angles: bool = False) -> str:
+    """The full CTE prefix (WITH RECURSIVE ...) for the CDI-composed
+    Sentinel-2 chain up to ``upto``: the rendered pass-1 CTE is renamed
+    pass1_raw, the recursive CDI block runs over it, and ``pass1`` is
+    redefined AS MATERIALIZED (DuckDB inlines CTEs per reference — the
+    thresholds chain references pass1 six times) with pcp and its one
+    dependent column clear_land replaced; the thresholds/pass2/pass3/
+    majority CTE text then composes unchanged. DuckDB dialect only."""
+    full = _ctes(d, upto, sensor="SENTINEL2", s2_offsets=offs,
+                 angles=angles)
+    body = full[len("WITH "):]
+    assert body.count("pass1 AS (") == 1
+    head, tail = body.split("pass1 AS (", 1)
+    # derive renders each CTE body ending at column 0 with ")": the
+    # first "\n),\n" after the split is pass1's own close (its body is
+    # a single SELECT with no column-0 closes inside)
+    idx = tail.index("\n),\n")
+    p1_body, rest = tail[:idx], tail[idx + len("\n),\n"):]
+    cdi = _cdi_cte_block(d, offs, src="pass1_raw")
+    return f"""WITH RECURSIVE {head}pass1_raw AS ({p1_body}
+),
+{cdi},
+pass1 AS MATERIALIZED (
+  SELECT p.* REPLACE (
+    (p1c.pcp_cdi_final) AS pcp,
+    (NOT p.nullmask AND NOT p1c.pcp_cdi_final
+     AND NOT p.water_test) AS clear_land)
+  FROM pass1_raw p
+  JOIN (SELECT c.url,
+          (NOT c.nullmask AND
+           ((g.url IS NOT NULL AND c.pcp6) OR c.cirrus_band_test
+            OR c.sat_and_bright)) AS pcp_cdi_final
+        FROM cdi c
+        LEFT JOIN (SELECT DISTINCT url FROM grown) g ON g.url = c.url
+       ) p1c ON p1c.url = p.url
+),
+{rest}"""
+
+
 def q_fmask_interim_class_s2_cdi(d: str,
                                  s2_offsets: dict[str, int] | None = None
                                  ) -> str:
@@ -298,37 +338,8 @@ def q_fmask_interim_class_s2_cdi(d: str,
             "rendering is the DuckDB oracle only")
     from .sen2meta import require_s2_offsets
     offs = require_s2_offsets(s2_offsets)
-    full = _ctes(d, "majority", sensor="SENTINEL2", s2_offsets=offs)
-    body = full[len("WITH "):]
-    # rename the pass-1 CTE; downstream references get the CDI form
-    assert body.count("pass1 AS (") == 1
-    head, tail = body.split("pass1 AS (", 1)
-    # tail = <pass1 body>) , <thresholds...majority ctes + final select?>
-    # _ctes(upto="majority") returns only CTE text; split at the CTE
-    # boundary of the NEXT cte after pass1: find the matching close of
-    # the pass1 CTE by the derive text's structure "\n)" at depth 0 —
-    # derive renders each CTE body ending with "FROM p1d\n)".
-    idx = tail.index("\n),\n")
-    p1_body, rest = tail[:idx], tail[idx + len("\n),\n"):]
-    cdi = _cdi_cte_block(d, offs, src="pass1_raw")
-    return f"""WITH RECURSIVE {head}pass1_raw AS ({p1_body}
-),
-{cdi},
-pass1 AS MATERIALIZED (
-  SELECT p.* REPLACE (
-    (p1c.pcp_cdi_final) AS pcp,
-    (NOT p.nullmask AND NOT p1c.pcp_cdi_final
-     AND NOT p.water_test) AS clear_land)
-  FROM pass1_raw p
-  JOIN (SELECT c.url,
-          (NOT c.nullmask AND
-           ((g.url IS NOT NULL AND c.pcp6) OR c.cirrus_band_test
-            OR c.sat_and_bright)) AS pcp_cdi_final
-        FROM cdi c
-        LEFT JOIN (SELECT DISTINCT url FROM grown) g ON g.url = c.url
-       ) p1c ON p1c.url = p.url
-),
-{rest}
+    ctes = _ctes_s2_cdi(d, "majority", offs)
+    return f"""{ctes}
 SELECT cb.url, cb.cell_id, cb.r, cb.c,
   cast(case
     when cb.nullmask then {C.OUTCODE_NULL}

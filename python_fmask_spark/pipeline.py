@@ -398,8 +398,8 @@ def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
 
 def scene_exchange(spark: SparkSession, table: str = "documents",
                    sensor: str = "LANDSAT8",
-                   s2_offsets: dict[str, int] | None = None
-                   ) -> tuple[DataFrame, DataFrame]:
+                   s2_offsets: dict[str, int] | None = None,
+                   s2_cdi: bool = False) -> tuple[DataFrame, DataFrame]:
     """The slim scene-kernel exchange: (pixel frame, per-cell dim frame).
 
     Pixel frame = 8 narrow fields (no url, booleans packed into one
@@ -411,9 +411,9 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
     from .operators.scene import DIM_COLS, PX_EXCHANGE_SQL
 
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets)
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     thr = materialize_thresholds(spark, table, sensor=sensor,
-                                 s2_offsets=s2_offsets)
+                                 s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     px = spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3",
         sensor=sensor, thresholds_view=thr))
@@ -438,7 +438,8 @@ def classify(spark: SparkSession, table: str = "documents",
              cells: DataFrame | None = None,
              cells_mode: str = "semi",
              sensor: str = "LANDSAT8",
-             s2_offsets: dict[str, int] | None = None) -> DataFrame:
+             s2_offsets: dict[str, int] | None = None,
+             s2_cdi: bool = False) -> DataFrame:
     """Full classification: returns (url, cell_id, r, c, fmask_class,
     cloud_id, ..., text_sha256). ``table`` must be a registered view
     with the raw documents schema.
@@ -462,9 +463,9 @@ def classify(spark: SparkSession, table: str = "documents",
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
     px, dims = scene_exchange(spark, table, sensor=sensor,
-                              s2_offsets=s2_offsets)
+                              s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets)
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     ident = spark.sql(
         f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
             FROM {view}""")

@@ -126,8 +126,37 @@ def main() -> None:
         s2_parts.append(indep)
     s2 = pd.concat(s2_parts, ignore_index=True)
     s2.to_parquet(f"{OUT_DIR}/shadow_oracle_final_s2.parquet", index=False)
+
+    # Sentinel-2 no-thermal WITH the CDI displacement test composed
+    # into pass 1 (setSen2displacementTest end-to-end): DuckDB renders
+    # the composed chain (recursive-CTE CDI + redefined pass1,
+    # oracle._ctes_s2_cdi) -> pass-3 frame -> the same independent /
+    # engine no-thermal kernel cross-assert as the plain S2 fixture.
+    ctes_cdi = oracle._ctes_s2_cdi(DUCKDB, "pass3",
+                                   oracle.S2_ZERO_OFFSETS, angles=True)
+    p3cdi = con.execute(
+        f"{ctes_cdi} SELECT {KERNEL_COLS}, cast(pcp as int) AS pcp_i "
+        f"FROM pass3").df()
+    cdi_parts = []
+    for cell_id, pdf in p3cdi.groupby("cell_id", sort=True):
+        pdf = pdf.reset_index(drop=True)
+        indep = classify_scene_independent(pdf, has_thermal=False)
+        engine = classify_scene(pdf, params, has_thermal=False)
+        pd.testing.assert_frame_equal(
+            indep.sort_values("url").reset_index(drop=True),
+            engine.sort_values("url").reset_index(drop=True),
+            check_dtype=True)
+        # carry the composed pass-1 pcp so the driver hash is sensitive
+        # to the CDI effect itself (the smoothed final class may not be)
+        indep = indep.merge(
+            pdf[["url", "pcp_i"]].astype({"pcp_i": "int32"}), on="url")
+        cdi_parts.append(indep)
+    s2cdi = pd.concat(cdi_parts, ignore_index=True)
+    s2cdi.to_parquet(f"{OUT_DIR}/shadow_oracle_final_s2_cdi.parquet",
+                     index=False)
     print(f"wrote {len(final)} final rows, {len(shadow)} fill rows, "
-          f"{len(s2)} s2 rows to {OUT_DIR} (from {SF_DIR})")
+          f"{len(s2)} s2 rows, {len(s2cdi)} s2+cdi rows "
+          f"to {OUT_DIR} (from {SF_DIR})")
 
 
 if __name__ == "__main__":
