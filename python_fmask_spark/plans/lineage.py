@@ -93,31 +93,50 @@ class StageRunner:
 
 def classify_checkpointed(spark: SparkSession, table: str, workdir: str,
                           run_id: str = "run1") -> DataFrame:
-    """Checkpoint-resumable classify: pass3 and the scene-kernel stage
-    each materialize with lineage; a restart skips completed stages."""
+    """Checkpoint-resumable classify with the SAME plan shape as
+    pipeline.classify: pass 1, the slim bit-packed pixel frame, the
+    per-cell dim frame, and the identity/digest dim each materialize as
+    fingerprinted stage tables with lineage; the cogrouped scene kernel
+    runs over the staged leaves and a restart skips completed stages."""
     from .. import pipeline
+    from ..operators.scene import (DIM_COLS, PX_EXCHANGE_SQL,
+                                   SCENE_OUT_SCHEMA_SLIM,
+                                   scene_cogroup_kernel)
+    from ..operators.scene import FmaskParams
 
     runner = StageRunner(spark, workdir, run_id)
-    fp = f"{table}:v1"
+    fp = f"{table}:v2-slim"
 
-    # pass 1 itself goes through the stage-table path (not
-    # localCheckpoint): resumable, lineage-tracked, and the leaf the
-    # pass-3 tail + digest branch below both read.
-    pipeline.materialize_pass1(spark, table, runner=runner)
+    view = pipeline.materialize_pass1(spark, table, runner=runner)
 
-    def build_p3() -> DataFrame:
-        # The stage table carries the text digest so a resumed run never
-        # re-derives pass 1 just for byte-identity; both branches below
-        # read the same materialized pass-1 leaf (no tail recompute).
-        return (pipeline.pass3_df(spark, table)
-                .join(pipeline.text_digests(spark, table), "url"))
-
-    p3 = runner.run("pass3", fp, build_p3)
+    px = runner.run("px", fp, lambda: spark.sql(
+        pipeline.tail_sql_from_pass1(
+            view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3")))
+    ang = ", ".join(f"first({k}) AS {k}" for k in DIM_COLS[3:])
+    dims = runner.run("dims", fp, lambda: spark.sql(
+        pipeline.tail_sql_from_pass1(
+            view, "thresholds",
+            f"""SELECT t.cell_id,
+                  cast(t.tlow as double) AS g_tlow,
+                  cast(t.thigh as double) AS g_thigh,
+                  t.b4_17 AS g_b4_17,
+                  a.sun_az, a.sun_zen, a.sat_az, a.sat_zen
+                FROM thresholds t
+                JOIN (SELECT cell_id, {ang}
+                      FROM pass1 GROUP BY cell_id) a
+                  ON a.cell_id = t.cell_id""")))
+    ident = runner.run("ident", fp, lambda: spark.sql(
+        f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
+            FROM {view}"""))
 
     def build_final() -> DataFrame:
-        from ..operators.scene import SCENE_OUT_SCHEMA, classify_scene
-        out = p3.drop("text_sha256").groupBy("cell_id").applyInPandas(
-            lambda pdf: classify_scene(pdf), schema=SCENE_OUT_SCHEMA)
-        return out.join(p3.select("url", "text_sha256"), "url")
+        out = (px.groupBy("cell_id")
+               .cogroup(dims.groupBy("cell_id"))
+               .applyInPandas(scene_cogroup_kernel(FmaskParams()),
+                              schema=SCENE_OUT_SCHEMA_SLIM))
+        return (out.join(ident, ["cell_id", "r", "c"])
+                .select("url", "cell_id", "r", "c", "fmask_class",
+                        "cloud_id", "cloud_height_du",
+                        "cloud_base_temp_c", "text_sha256"))
 
-    return runner.run("final_class", fp + ":pass3", build_final)
+    return runner.run("final_class", fp + ":px", build_final)

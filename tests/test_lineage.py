@@ -37,14 +37,18 @@ def test_stage_runner_resume(spark, sf_small):
 
 
 def test_classify_checkpointed_resume(spark, sf_small):
+    from python_fmask_spark import pipeline
+
     register_views(spark, sf_small)
     with tempfile.TemporaryDirectory() as wd:
         out1 = classify_checkpointed(spark, "documents", wd).collect()
         # second run resumes from the final stage table: identical rows
         out2 = classify_checkpointed(spark, "documents", wd).collect()
-        k = lambda r: (r.url,)  # noqa: E731
         assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
         assert len(out1) == 500
+        # and the staged plan equals the live pipeline bit-for-bit
+        live = pipeline.classify(spark).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, live))
 
 
 def test_distributed_classify_resumes(spark, sf_small):
