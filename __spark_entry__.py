@@ -61,6 +61,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_simhash": dedup.q_simhash,
     "dedup_simhash_pairs": dedup.q_simhash_pairs,
     "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
+    "dedup_url_canonical": dedup.q_url_canonical,
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
@@ -280,6 +281,21 @@ def _fmask_final_class_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cloud_id", "cloud_height_du", "text_sha256")
 
 
+def _fmask_final_class_dist_s2(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Clump-parallel distributed classify under the NO-THERMAL regime
+    (sensor dispatch on the distributed path: flat clouds, Tcloudbase=0
+    sweeps, NULL BT thresholds). Checked against the SAME S2
+    independent-replay fixture as fmask_final_class_s2 — green proves
+    distributed == whole-cell == independent oracle without thermal."""
+    from python_fmask_spark.operators.scene_dist import classify_distributed
+    register_views(spark, sf_dir)
+    out = classify_distributed(spark, sensor="SENTINEL2",
+                               s2_offsets=oracle.S2_ZERO_OFFSETS)
+    return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                          "cloud_id", "cloud_height_du", "text_sha256")
+
+
 def _fmask_final_class_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based dispatch (pipeline.classify_auto): cells below the
     row threshold run the whole-cell kernel, cells at/above it run the
@@ -454,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_s2"] = _fmask_final_class_s2
     out["fmask_interim_class_s2_cdi"] = _fmask_interim_class_s2_cdi
     out["fmask_final_class_s2_cdi"] = _fmask_final_class_s2_cdi
+    out["fmask_final_class_dist_s2"] = _fmask_final_class_dist_s2
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
     return out
@@ -498,6 +515,8 @@ FROM read_parquet('{_FIXTURES}/shadow_oracle_fill.parquet')"""
 SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
        text_sha256
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2.parquet')"""
+    # distributed no-thermal: same S2 fixture as the whole-cell path
+    out["fmask_final_class_dist_s2"] = out["fmask_final_class_s2"]
     # S2 + CDI composed end-to-end (pcp_i = the composed pass-1 PCP)
     out["fmask_final_class_s2_cdi"] = f"""
 SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,

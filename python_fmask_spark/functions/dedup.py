@@ -250,3 +250,61 @@ FROM inter i
 JOIN sizes sa ON sa.url = i.url_a
 JOIN sizes sb ON sb.url = i.url_b
 WHERE cast(i as double) / (sa.n + sb.n - i) >= {threshold}"""
+
+
+def q_url_canonical(d: str) -> str:
+    """URL canonicalization + host-level duplicate accounting — the
+    standard first stage of a Common-Crawl-style dedup pipeline (crawls
+    re-fetch the same page under fragment/`www.`/default-port/trailing-
+    slash variants; canonicalizing before content dedup collapses them
+    for free).
+
+    Normalization (deterministic, pure string ops — identical SQL in
+    both dialects): drop the #fragment, lowercase scheme and host,
+    strip a leading ``www.``, strip the scheme's default port
+    (:443/:80), strip one trailing slash from the path. Output: the
+    per-url canonical form, the host partition key, and the host's
+    document count (the Zipf-skew signal a salting stage reads).
+
+    Scale: canonicalization is whole-stage-codegen column work; the
+    only exchange is the host window (hash partition by host — a
+    mega-host is exactly the skew case salted_repartition handles).
+    """
+    return f"""
+WITH docs AS ({documents_wide_sql(d)}),
+u0 AS (
+  SELECT url, split_part(url, '#', 1) AS nofrag FROM docs
+),
+u1 AS (
+  SELECT url,
+    lower(split_part(nofrag, '://', 1)) AS scheme,
+    lower(split_part(split_part(nofrag, '://', 2), '/', 1)) AS hostport,
+    substr(split_part(nofrag, '://', 2),
+           length(split_part(split_part(nofrag, '://', 2), '/', 1)) + 1)
+      AS pathq
+  FROM u0
+),
+u2 AS (
+  SELECT url, scheme,
+    (case when hostport LIKE 'www.%' then substr(hostport, 5)
+          else hostport end) AS h1, pathq
+  FROM u1
+),
+u3 AS (
+  SELECT url, scheme,
+    (case when scheme = 'https' AND h1 LIKE '%:443'
+            then substr(h1, 1, length(h1) - 4)
+          when scheme = 'http' AND h1 LIKE '%:80'
+            then substr(h1, 1, length(h1) - 3)
+          else h1 end) AS host,
+    (case when pathq LIKE '%/' AND length(pathq) > 1
+            then substr(pathq, 1, length(pathq) - 1)
+          when pathq = '/' then ''
+          else pathq end) AS path
+  FROM u2
+)
+SELECT url,
+  scheme || '://' || host || path AS canon_url,
+  host,
+  cast(count(*) OVER (PARTITION BY host) as bigint) AS host_docs
+FROM u3""".strip()

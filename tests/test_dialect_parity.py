@@ -44,3 +44,40 @@ def test_explode_series_parity(spark):
     d = duckdb.sql(
         f"SELECT {D.explode_series('1', '5', 'i', D.DUCKDB)}").fetchall()
     assert sorted(r[0] for r in s) == sorted(r[0] for r in d) == [1, 2, 3, 4, 5]
+
+
+def test_url_canonicalization_edge_cases_spark(spark):
+    """The q_url_canonical normalization chain over literal edge-case
+    URLs (fragment, WWW., default ports, trailing slash) — the synthetic
+    documents fixture never exercises these, so pin the Spark-dialect
+    behavior explicitly (the DuckDB side is pinned by the same literals
+    in development and the driver compare covers the fixture corpus)."""
+    rows = spark.sql("""
+WITH u0 AS (SELECT url, split_part(url, '#', 1) AS nofrag FROM (VALUES
+  ('HTTPS://WWW.Ex.com:443/a/b/#frag'),
+  ('http://ex.com:80/'),
+  ('https://ex.com/a/')) t(url)),
+u1 AS (SELECT url, lower(split_part(nofrag,'://',1)) AS scheme,
+  lower(split_part(split_part(nofrag,'://',2),'/',1)) AS hostport,
+  substr(split_part(nofrag,'://',2),
+         length(split_part(split_part(nofrag,'://',2),'/',1))+1) AS pathq
+  FROM u0),
+u2 AS (SELECT url, scheme,
+  (case when hostport LIKE 'www.%' then substr(hostport,5)
+        else hostport end) AS h1, pathq FROM u1),
+u3 AS (SELECT url, scheme,
+  (case when scheme='https' AND h1 LIKE '%:443'
+          then substr(h1,1,length(h1)-4)
+        when scheme='http' AND h1 LIKE '%:80'
+          then substr(h1,1,length(h1)-3) else h1 end) AS host,
+  (case when pathq LIKE '%/' AND length(pathq)>1
+          then substr(pathq,1,length(pathq)-1)
+        when pathq='/' then '' else pathq end) AS path FROM u2)
+SELECT url, scheme || '://' || host || path AS canon FROM u3
+""").collect()
+    got = {r.url: r.canon for r in rows}
+    assert got == {
+        "HTTPS://WWW.Ex.com:443/a/b/#frag": "https://ex.com/a/b",
+        "http://ex.com:80/": "http://ex.com",
+        "https://ex.com/a/": "https://ex.com/a",
+    }
