@@ -62,6 +62,10 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_simhash_pairs": dedup.q_simhash_pairs,
     "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
     "dedup_url_canonical": dedup.q_url_canonical,
+    # m=1024 at oracle scale so the filter's false-positive behavior is
+    # exercised (31/240 may-contain, 0 true dups on unique-text corpus;
+    # production sizes m to the reference-corpus cardinality)
+    "dedup_bloom_prefilter": lambda d: dedup.q_bloom_prefilter(d, m=1024),
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
@@ -72,6 +76,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_quality": textfn.q_quality_score,
     "text_tokens": textfn.q_token_counts,
     "text_fingerprint": textfn.q_fingerprint,
+    "text_repetition": textfn.q_repetition,
     # multimodal binary plumbing
     "html_meta": multimodal.q_html_meta,
     # raster<->vector bridge

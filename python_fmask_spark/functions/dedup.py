@@ -308,3 +308,54 @@ SELECT url,
   host,
   cast(count(*) OVER (PARTITION BY host) as bigint) AS host_docs
 FROM u3""".strip()
+
+
+def q_bloom_prefilter(d: str, m: int = 65536, k: int = 3) -> str:
+    """Bloom-filter membership prefilter — the cheap first pass of
+    incremental dedup at crawl scale: build a bit set from a REFERENCE
+    corpus (here the deterministic md5-parity half of the table, a
+    stand-in for "previous crawls"), then test each new document's k
+    hash bits against it. A document with all k bits present MAY be a
+    duplicate (routed to exact verification); any absent bit proves it
+    new. Output carries the exact-match ground truth so the false-
+    positive behavior is visible in-query.
+
+    The k bits come from disjoint slices of ONE md5(text) (engines CSE
+    the shared digest; k independent md5s cost real time at scale).
+    Scale shape: the bit set is <= {m} rows regardless of corpus size —
+    the canonical BROADCAST side — and the probe is a broadcast left
+    join, never a shuffle of the corpus; the exact-verify tail is a
+    semi join only over the may-contain subset."""
+    bit = {i: md5_slice_int("text", 1 + 4 * i, 4, d) + f" % {m}"
+           for i in range(k)}
+    bits_union = "\n  UNION ALL\n".join(
+        f"  SELECT url, grp, ({e}) AS bit FROM base" for e in bit.values())
+    return f"""
+WITH docs AS ({documents_wide_sql(d)}),
+base AS (
+  SELECT url, text, ({md5_slice_int("url", 1, 4, d)} % 2) AS grp
+  FROM docs
+),
+doc_bits AS (
+{bits_union}
+),
+bloom AS (
+  SELECT DISTINCT bit FROM doc_bits WHERE grp = 0
+),
+probe AS (
+  SELECT b.url, count(*) AS k_bits,
+    cast(sum(case when f.bit IS NOT NULL then 1 else 0 end) as bigint)
+      AS k_hits
+  FROM doc_bits b LEFT JOIN bloom f ON f.bit = b.bit
+  WHERE b.grp = 1 GROUP BY b.url
+),
+ref_digests AS (
+  SELECT DISTINCT md5(text) AS dg FROM base WHERE grp = 0
+)
+SELECT p.url,
+  cast(case when p.k_hits = p.k_bits then 1 else 0 end as int)
+    AS may_contain,
+  cast(case when r.dg IS NOT NULL then 1 else 0 end as int) AS is_dup
+FROM probe p
+JOIN base c ON c.url = p.url
+LEFT JOIN ref_digests r ON r.dg = md5(c.text)""".strip()

@@ -107,3 +107,54 @@ SELECT url, min(sh) AS fp_min, max(sh) AS fp_max,
   count(DISTINCT sh) AS fp_card,
   cast(sum(sh) % 9007199254740993 as bigint) AS fp_sum
 FROM hashes GROUP BY url"""
+
+
+def q_repetition(d: str) -> str:
+    """Gopher-style repetition filter signals (Rae et al. 2021 §A1.1,
+    the standard LLM-training-data quality gate): per document, the
+    fraction of all word-bigrams taken by the single most frequent
+    bigram, and the distinct-word ratio — high top-bigram fraction or
+    low distinct ratio flags boilerplate/spam for removal.
+
+    Fractions are emitted as exact integer micros (floor(1e6 * a / b)
+    with bigint operands — one IEEE division of exact integers, so the
+    value is identical cross-engine). Scale shape: one explode to word
+    positions (like q_fingerprint's shingles), then map-side-combinable
+    (url, bigram) counts; no joins wider than url."""
+    nw = ("(cast((length(text) - length(replace(text, ' ', ''))) "
+          "as bigint) + 1)")
+    gen = explode_series("1", nw, "i", d)
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+positions AS (
+  SELECT url, text, {nw} AS nw, {gen} FROM docs
+),
+words AS (
+  SELECT url, split_part(text, ' ', cast(i as int)) AS w
+  FROM positions
+),
+bgc AS (
+  SELECT url,
+    split_part(text, ' ', cast(i as int)) || '_'
+      || split_part(text, ' ', cast(i + 1 as int)) AS bg,
+    count(*) AS c
+  FROM positions
+  WHERE i < nw GROUP BY 1, 2
+),
+bg_stats AS (
+  SELECT url, cast(max(c) as bigint) AS top_bigram_n,
+    cast(sum(c) as bigint) AS n_bigrams
+  FROM bgc GROUP BY url
+),
+w_stats AS (
+  SELECT url, cast(count(DISTINCT w) as bigint) AS n_distinct_words,
+    cast(count(*) as bigint) AS n_words
+  FROM words GROUP BY url
+)
+SELECT w.url, w.n_words, w.n_distinct_words,
+  cast(floor(1000000.0 * w.n_distinct_words / w.n_words) as bigint)
+    AS distinct_word_micro,
+  b.top_bigram_n, b.n_bigrams,
+  cast(floor(1000000.0 * b.top_bigram_n / b.n_bigrams) as bigint)
+    AS top_bigram_micro
+FROM w_stats w JOIN bg_stats b ON b.url = w.url""".strip()
