@@ -410,6 +410,58 @@ SELECT cast(floor(epoch(warc_ts) / {w}) * {w} as bigint)
 FROM pass1 GROUP BY 1, 2"""
 
 
+def _stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator on the board
+    (applyInPandasWithState): two micro-batches — the original corpus,
+    then a full duplicate copy under shifted doc_ids (different urls,
+    LATER timestamps, identical texts) — and the per-digest state must
+    drop every batch-2 duplicate. n_emits == 1 per digest proves the
+    state actually suppressed the second occurrence (a stateless
+    re-emit would show 2). Oracle: the originals, trivially, which is
+    exactly the point — the duplicates must not surface."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+
+    from python_fmask_spark.streaming import ingest
+    d = tempfile.mkdtemp(prefix="fmask_dedup_stream_")
+    try:
+        src = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        src.to_parquet(f"{d}/part1.parquet", index=False)
+        dup = src.copy()
+        dup["doc_id"] = dup["doc_id"] + 1_000_000
+        dup.to_parquet(f"{d}/part2.parquet", index=False)
+        # file-source batches order by modification time: originals first
+        now = _time.time()
+        _os.utime(f"{d}/part1.parquet", (now - 60, now - 60))
+        _os.utime(f"{d}/part2.parquet", (now, now))
+        out = ingest.stream_dedup_first(spark, d, max_files_per_trigger=1)
+        ingest.run_available_now(out, "drv_dedup_stream",
+                                 output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.sql("""
+        SELECT digest, min_by(url, warc_ts) AS first_url,
+               cast(unix_timestamp(min(warc_ts)) as bigint)
+                 AS first_ts_epoch,
+               cast(count(*) as bigint) AS n_emits
+        FROM drv_dedup_stream GROUP BY digest""")
+
+
+def _stream_dedup_first_oracle() -> str:
+    from python_fmask_spark import derive as _derive
+    wide = _derive.documents_wide_sql(DUCKDB, "documents")
+    return f"""
+WITH docs AS ({wide})
+SELECT md5(text) AS digest, url AS first_url,
+  cast(epoch(warc_ts) as bigint) AS first_ts_epoch,
+  cast(1 as bigint) AS n_emits
+FROM docs"""
+
+
 def _make_sql_query(builder: Callable[[str], str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -478,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_dist_s2"] = _fmask_final_class_dist_s2
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
+    out["stream_dedup_first"] = _stream_dedup_first
     return out
 
 
@@ -529,4 +582,5 @@ SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2_cdi.parquet')"""
     out["mask_sink_roundtrip"] = _mask_sink_oracle()
     out["stream_pass1_counts"] = _stream_pass1_oracle()
+    out["stream_dedup_first"] = _stream_dedup_first_oracle()
     return out
