@@ -63,11 +63,16 @@ int hq_fill_c(const int64_t *img, const uint8_t *nullf, int64_t *i2,
     }
     for (int64_t l = 0; l < nlev; l++) { head[l] = -1; tail[l] = -1; }
 
-    /* seed queues */
+    /* seed queues. Callers clamp seed values to [h_min, h_max), but the
+       C boundary enforces it anyway: a seed below h_min clamps to level
+       0 (it floods at the lowest processed level — the same result the
+       Python fallback degrades to), instead of indexing head[] out of
+       bounds and corrupting the executor heap. */
     for (int64_t p = 0; p < n; p++) {
         next[p] = -1;
         if (i2[p] < h_max) {
             int64_t l = i2[p] - h_min;
+            if (l < 0) l = 0;
             if (head[l] == -1) head[l] = p; else next[tail[l]] = p;
             tail[l] = p;
         }

@@ -118,8 +118,11 @@ def q_repetition(d: str) -> str:
 
     Fractions are emitted as exact integer micros (floor(1e6 * a / b)
     with bigint operands — one IEEE division of exact integers, so the
-    value is identical cross-engine). Scale shape: one explode to word
-    positions (like q_fingerprint's shingles), then map-side-combinable
+    value is identical cross-engine). One-word documents have no
+    bigrams: they still appear (LEFT JOIN from the word stats) with
+    NULL bigram columns rather than silently vanishing from the
+    quality-signal output. Scale shape: one explode to word positions
+    (like q_fingerprint's shingles), then map-side-combinable
     (url, bigram) counts; no joins wider than url."""
     nw = ("(cast((length(text) - length(replace(text, ' ', ''))) "
           "as bigint) + 1)")
@@ -157,4 +160,4 @@ SELECT w.url, w.n_words, w.n_distinct_words,
   b.top_bigram_n, b.n_bigrams,
   cast(floor(1000000.0 * b.top_bigram_n / b.n_bigrams) as bigint)
     AS top_bigram_micro
-FROM w_stats w JOIN bg_stats b ON b.url = w.url""".strip()
+FROM w_stats w LEFT JOIN bg_stats b ON b.url = w.url""".strip()

@@ -323,7 +323,11 @@ def _hq_fill_py(img: np.ndarray, nullmask: np.ndarray, img2: np.ndarray,
     i2l = i2.tolist()
     queues: list[list[int]] = [[] for _ in range(h_max - h_min + 2)]
     for p in np.flatnonzero(i2 < h_max).tolist():
-        queues[i2l[p] - h_min].append(p)
+        # callers clamp seeds to [h_min, h_max); enforce anyway — an
+        # out-of-contract seed below h_min floods at the lowest level
+        # (matching the C kernel's clamp) instead of wrapping to a
+        # random queue via Python negative indexing
+        queues[max(0, i2l[p] - h_min)].append(p)
     for h_crt in range(h_min, h_max):
         q = queues[h_crt - h_min]
         qi = 0

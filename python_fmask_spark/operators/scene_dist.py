@@ -298,7 +298,34 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
     has_thermal = sensor != "SENTINEL2"
-    fp = f"{table}:{sensor}:distv2"  # v2: url-free intermediate schemas
+    external_p3 = p3 is not None
+    # Stage fingerprint folds in EVERYTHING that changes stage results:
+    # the FmaskParams fields (min_cloud_size_px/buffers alter dist_flags
+    # and the finalize), the rendered pass-1 SQL (sensor dispatch,
+    # offsets, derive-formula version), and the session's registered
+    # input identity (per-file mtime/size) — so resuming in the same
+    # workdir after changing params or rewriting the table re-runs
+    # instead of silently reusing stale stage tables. An externally
+    # supplied p3 is fingerprinted by its analyzed plan (deterministic
+    # within a session; conservatively re-runs across sessions, which
+    # is correct — the runner cannot validate a caller-built frame).
+    fp = ""
+    if runner is not None:
+        import dataclasses
+
+        fp_logic = [f"{table}:{sensor}:distv3",
+                    repr(dataclasses.astuple(params)),
+                    repr(sorted((s2_offsets or {}).items()))]
+        if external_p3:
+            try:
+                fp_logic.append(
+                    p3._jdf.queryExecution().analyzed().toString())
+            except Exception:
+                fp_logic.append(p3.schema.json())
+        else:
+            fp_logic.append(pipeline.pass1_sql_text(
+                table, sensor=sensor, s2_offsets=s2_offsets))
+        fp = pipeline.stage_fingerprint(spark, "||".join(fp_logic))
 
     def _mat(stage: str, build):
         """Stage barrier: fingerprinted stage table under a runner,
@@ -550,9 +577,21 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         "cast(coalesce(height_du, 0) as int) AS cloud_height_du",
         "base_temp_c AS cloud_base_temp_c")
     # identity + digest join back, once, at the very end
-    if digests is None:
-        digests = pipeline.text_digests(spark, table)
     ident = p3.select("url", "cell_id", "r", "c")
+    if digests is None:
+        if external_p3:
+            # p3's urls may be unrelated to `table` (bench/skew feeds a
+            # pre-materialized pixel frame, possibly with no registered
+            # 'documents' view at all): deriving digests from the table
+            # would crash or silently drop rows through the inner url
+            # join below. Emit a NULL digest instead — callers wanting
+            # the byte-identity column pass digests explicitly.
+            return (out.join(ident, ["cell_id", "r", "c"])
+                    .selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                                "cloud_id", "cloud_height_du",
+                                "cloud_base_temp_c",
+                                "cast(null as string) AS text_sha256"))
+        digests = pipeline.text_digests(spark, table)
     return (out.join(ident, ["cell_id", "r", "c"])
             .join(digests, "url")
             .select("url", "cell_id", "r", "c", "fmask_class", "cloud_id",

@@ -34,6 +34,33 @@ _KERNEL_COLS = ("url", "cell_id", "r", "c", "nir", "bt",
                 "sat_az_cdn", "sat_zen_cdn")
 
 
+def pass1_sql_text(table: str = "documents", sensor: str = "LANDSAT8",
+                   s2_offsets: dict[str, int] | None = None) -> str:
+    """The rendered pass-1 SQL (features + pass1 CTEs). Also serves as
+    the logic component of resumable-stage fingerprints: any change to
+    the derive formulas, sensor dispatch, or offsets changes this text
+    and therefore invalidates StageRunner stage tables."""
+    p1_ctes = ",\n".join([
+        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
+        derive.pass1_sql(SPARK, sensor=sensor, s2_offsets=s2_offsets),
+    ])
+    return f"WITH {p1_ctes} SELECT * FROM pass1"
+
+
+def stage_fingerprint(spark: SparkSession, logic: str) -> str:
+    """Fingerprint for StageRunner stage tables: sha256 over the logic
+    identity (rendered SQL / params repr) PLUS the session's registered
+    input identity (sources.registered_input_identity — sf_dir +
+    per-file mtime/size). Resuming in the same workdir after either the
+    logic or the input data changed re-runs the stage instead of
+    silently reusing a stale table."""
+    import hashlib
+
+    from .sources import registered_input_identity
+    ident = registered_input_identity(spark)
+    return hashlib.sha256(f"{ident}||{logic}".encode()).hexdigest()[:16]
+
+
 def text_digests(spark: SparkSession, table: str = "documents") -> DataFrame:
     """(url, text_sha256) — the byte-identity invariant, computed from
     the materialized pass-1 stage table (a LogicalRDD leaf), NOT by
@@ -144,14 +171,9 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
         mod.localCheckpoint().createOrReplaceTempView(view)
         cache[(table, skey)] = view
         return view
-    p1_ctes = ",\n".join([
-        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
-        derive.pass1_sql(SPARK, sensor=sensor, s2_offsets=s2_offsets),
-    ])
-    sql = f"WITH {p1_ctes} SELECT * FROM pass1"
+    sql = pass1_sql_text(table, sensor=sensor, s2_offsets=s2_offsets)
     if runner is not None:
-        import hashlib
-        fp = hashlib.sha256(f"{table}:{sql}".encode()).hexdigest()[:16]
+        fp = stage_fingerprint(spark, f"{table}:{sql}")
         p1 = runner.run("pass1", fp, lambda: spark.sql(sql))
         p1.createOrReplaceTempView(view)
         # do NOT keep the session reuse cache pointing at this view: the
@@ -541,7 +563,9 @@ def classify_auto(spark: SparkSession, table: str = "documents",
         p3_big = p3.join(F.broadcast(big), "cell_id", "left_semi") \
             .localCheckpoint()
         big_out = classify_distributed(spark, table, params,
-                                       p3=p3_big, digests=digests)
+                                       p3=p3_big, digests=digests,
+                                       sensor=sensor,
+                                       s2_offsets=s2_offsets)
         return small_out.unionByName(big_out.select(*small_out.columns))
 
     view = materialize_pass1(spark, table, sensor=sensor,

@@ -52,6 +52,15 @@ def _input_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
     return "|".join(parts)
 
 
+def registered_input_identity(spark: SparkSession) -> str:
+    """Identity string of the session's last-registered input (sf_dir +
+    per-table mtime_ns/size), '' when nothing registered. Folded into
+    resumable-stage fingerprints (plans.lineage.StageRunner) so that
+    rewriting the input data at the same path invalidates stage tables
+    instead of silently resuming over stale results."""
+    return _REGISTERED.get(spark, "")
+
+
 def _note_input_change(spark: SparkSession, identity: str) -> None:
     if _REGISTERED.get(spark) != identity:
         from .pipeline import invalidate_pass1_cache

@@ -81,3 +81,37 @@ SELECT url, scheme || '://' || host || path AS canon FROM u3
         "http://ex.com:80/": "http://ex.com",
         "https://ex.com/a/": "https://ex.com/a",
     }
+
+
+def test_repetition_one_word_doc_parity(spark):
+    """ADVICE r4: q_repetition must not drop documents with a single
+    word (they have no bigram rows) — they appear with NULL bigram
+    columns, identically in both dialects."""
+    import duckdb as _dd
+
+    from python_fmask_spark.functions import text as textfn
+
+    mini = ("SELECT * FROM (VALUES (1, 'loneword', 'src', 'en'), "
+            "(2, 'two words words here', 'src', 'en')) "
+            "t(doc_id, text, source, lang)")
+    spark.sql(mini).createOrReplaceTempView("documents")
+    try:
+        s_rows = {r.url: (r.n_words, r.n_distinct_words,
+                          r.distinct_word_micro, r.top_bigram_n,
+                          r.n_bigrams, r.top_bigram_micro)
+                  for r in spark.sql(textfn.q_repetition(D.SPARK)).collect()}
+        con = _dd.connect()
+        con.execute(f"CREATE VIEW documents AS {mini}")
+        d_rows = {r[0]: tuple(r[1:])
+                  for r in con.execute(
+                      textfn.q_repetition(D.DUCKDB)).fetchall()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert len(s_rows) == 2  # the one-word doc is present
+    one = [u for u in s_rows if u.endswith("/1")][0]
+    assert s_rows[one][0] == 1  # n_words
+    assert s_rows[one][3] is None  # top_bigram_n NULL, not dropped
+    assert {u: tuple(None if v is None else int(v) for v in t)
+            for u, t in s_rows.items()} == \
+           {u: tuple(None if v is None else int(v) for v in t)
+            for u, t in d_rows.items()}

@@ -216,3 +216,31 @@ def test_hq_fill_c_matches_python():
         kernels.hq_fill(img, nullmask, a, h_min, h_max)
         kernels._hq_fill_py(img, nullmask, b, h_min, h_max)
         assert (a == b).all()
+
+
+def test_hq_fill_out_of_contract_seed_is_clamped():
+    """ADVICE r4: a seed below h_min must not index the C level queues
+    out of bounds (heap corruption) — both the C kernel and the Python
+    fallback clamp it to the lowest processed level, identically."""
+    import numpy as np
+
+    from python_fmask_spark.operators import kernels
+
+    img = np.array([[5, 7, 5],
+                    [7, 9, 7],
+                    [5, 7, 5]], dtype=np.int64) * 100
+    nullmask = np.zeros((3, 3), dtype=bool)
+    h_min, h_max = 500, 900
+
+    def seeds():
+        i2 = np.full((3, 3), h_max, dtype=np.int64)
+        i2[0, 0] = 120  # far below h_min: out of the documented contract
+        i2[2, 2] = 500
+        return i2
+
+    a, b = seeds(), seeds()
+    kernels.hq_fill(img, nullmask, a, h_min, h_max)
+    kernels._hq_fill_py(img, nullmask, b, h_min, h_max)
+    assert (a == b).all()
+    # the clamped seed still flooded: its neighbours got filled
+    assert a[0, 1] < h_max and a[1, 0] < h_max

@@ -51,6 +51,41 @@ def test_classify_checkpointed_resume(spark, sf_small):
         assert sorted(map(tuple, out1)) == sorted(map(tuple, live))
 
 
+def test_runner_fingerprint_covers_params(spark, sf_small):
+    """ADVICE r4: the distributed-classify stage fingerprint folds in
+    the FmaskParams fields (and the registered input identity + pass-1
+    SQL) — resuming in the same workdir with unchanged params skips
+    every stage, while changed params re-run ALL stage tables instead
+    of silently reusing stale results."""
+    from python_fmask_spark.operators.scene import FmaskParams
+    from python_fmask_spark.operators.scene_dist import classify_distributed
+
+    register_views(spark, sf_small)
+    with tempfile.TemporaryDirectory() as wd:
+        r1 = StageRunner(spark, wd, "f1")
+        n1 = classify_distributed(spark, runner=r1).count()
+        dist_stages = {"dist_p3", "dist_flags", "dist_px",
+                       "dist_windows", "dist_bands"}
+        assert {r.stage for r in r1.lineage()
+                .filter("run_id = 'f1'").collect()} >= dist_stages
+        # same params + same input -> full resume, nothing rebuilt
+        r2 = StageRunner(spark, wd, "f2")
+        assert classify_distributed(spark, runner=r2).count() == n1
+        assert r2.lineage().filter("run_id = 'f2'").count() == 0
+        # changed FmaskParams -> every distributed stage re-runs
+        # (pass1 correctly resumes: it does not depend on FmaskParams)
+        r3 = StageRunner(spark, wd, "f3")
+        classify_distributed(
+            spark, params=FmaskParams(cloud_buffer_px=0,
+                                      shadow_buffer_px=0,
+                                      min_cloud_size_px=1),
+            runner=r3).count()
+        rebuilt = {r.stage for r in r3.lineage()
+                   .filter("run_id = 'f3'").collect()}
+        assert rebuilt >= dist_stages
+        assert "pass1" not in rebuilt
+
+
 def test_distributed_classify_resumes(spark, sf_small):
     """classify_distributed(runner=...) materializes its five barriers
     as fingerprinted stage tables. Simulate a mid-job crash by wiping

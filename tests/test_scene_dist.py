@@ -139,3 +139,42 @@ def test_distributed_s2_no_thermal_matches_scene_kernel(spark, sf_small):
     diffs = {u: (whole[u], dist[u]) for u in whole if whole[u] != dist[u]}
     assert not diffs, f"{len(diffs)} mismatching urls, e.g. " \
         f"{list(diffs.items())[:3]}"
+
+
+def _p3_frame(spark):
+    view = pipeline.materialize_pass1(spark)
+    thr = pipeline.materialize_thresholds(spark)
+    cols = ", ".join((*pipeline._KERNEL_COLS, "cell_rows"))
+    return spark.sql(pipeline.tail_sql_from_pass1(
+        view, "pass3", f"SELECT {cols} FROM pass3",
+        thresholds_view=thr)).localCheckpoint()
+
+
+def test_external_p3_without_digests_keeps_rows(spark, sf_small):
+    """ADVICE r4: an externally supplied p3 with digests=None must NOT
+    derive digests from the documents table (p3's urls may be unrelated
+    to it in bench/skew contexts, so the inner url join would drop rows
+    or crash). The output carries NULL text_sha256, loses no rows, and
+    the classes still match the whole-scene kernel."""
+    register_views(spark, sf_small)
+    base = pipeline.classify(spark)
+    expect = {r.url: r.fmask_class for r in base.collect()}
+    out = classify_distributed(spark, p3=_p3_frame(spark)).collect()
+    assert len(out) == len(expect)
+    assert all(r.text_sha256 is None for r in out)
+    got = {r.url: r.fmask_class for r in out}
+    assert got == expect
+
+
+def test_classify_auto_external_p3_without_digests(spark, sf_small):
+    """classify_auto's p3 path with digests=None routes mega-cells to
+    classify_distributed — which must not reach for the default table's
+    digests (ADVICE r4). row_threshold=8 forces BOTH branches to run."""
+    register_views(spark, sf_small)
+    base = {r.url: r.fmask_class
+            for r in pipeline.classify(spark).collect()}
+    out = pipeline.classify_auto(
+        spark, row_threshold=8, p3=_p3_frame(spark)).collect()
+    assert len(out) == len(base)
+    got = {r.url: r.fmask_class for r in out}
+    assert got == base
