@@ -469,24 +469,64 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         F.expr("first(sun_zen) AS sun_zen"))
 
     def windows_map(batches):
+        # Vectorized replay of _sweep_bounds' endpoint placements over
+        # the whole clump dim (one row per cloud — this used to be a
+        # per-row Python loop). np trig on arrays can differ from the
+        # scalar libm calls inside the match kernel's _sweep_bounds by
+        # ~1 ULP, which could flip an int() truncation at an exact
+        # integer boundary — so the window is padded by one guard row
+        # on each side. Windows only need to CONTAIN the sweep (they
+        # pick the match band; the kernel re-derives exact placements),
+        # so the padding cannot change any result.
         for pdf in batches:
-            rows = []
-            for t in pdf.itertuples(index=False):
-                tb = float(t.base_temp_c)
-                if math.isnan(tb):
-                    tb = 0.0  # no-thermal regime: Tcloudbase = 0
-                (num_steps, *_rest, place) = _sweep_bounds(
-                    tb, float(t.g_tlow),
-                    float(t.g_thigh), float(t.sun_az), float(t.sun_zen),
-                    float(t.sat_az_m), float(t.sat_zen_m),
-                    C.X_RES, C.Y_RES)
-                ends = [place(0), place(num_steps - 1)]
-                rs = [int(t.trow0) - ro for ro, _ in ends]
-                tnr = int(t.trmax) - int(t.trow0) + 1
-                rows.append((t.cell_id, int(t.cloud_id),
-                             max(0, min(rs)), max(rs) + tnr - 1))
-            yield pd.DataFrame(
-                rows, columns=["cell_id", "cloud_id", "win_r0", "win_r1"])
+            if not len(pdf):
+                yield pd.DataFrame({"cell_id": pd.Series(dtype=object),
+                                    "cloud_id": pd.Series(dtype=np.int64),
+                                    "win_r0": pd.Series(dtype=np.int32),
+                                    "win_r1": pd.Series(dtype=np.int32)})
+                continue
+            tb = pdf["base_temp_c"].to_numpy(np.float64)
+            tb = np.where(np.isnan(tb), 0.0, tb)  # no-thermal: Tbase=0
+            tl = pdf["g_tlow"].to_numpy(np.float64)
+            tl = np.where(np.isnan(tl), 0.0, tl)
+            th = pdf["g_thigh"].to_numpy(np.float64)
+            th = np.where(np.isnan(th), 10.0, th)
+            sun_az = pdf["sun_az"].to_numpy(np.float64)
+            sun_zen = pdf["sun_zen"].to_numpy(np.float64)
+            sat_az = pdf["sat_az_m"].to_numpy(np.float64)
+            sat_zen = pdf["sat_zen_m"].to_numpy(np.float64)
+            h_lo = np.maximum(0.2, (tl - 4 - tb) / 9.8) * C.METRES_PER_KM
+            h_hi = np.minimum(12, (th + 4 - tb)) * C.METRES_PER_KM
+            tan_szen = np.tan(sun_zen)
+            sin_saz, cos_saz = np.sin(sun_az), np.cos(sun_az)
+            tan_vzen = np.tan(sat_zen)
+            sin_vaz, cos_vaz = np.sin(sat_az), np.cos(sat_az)
+            x_off_min = h_lo * tan_szen * sin_saz
+            x_off_max = h_hi * tan_szen * sin_saz
+            y_off_min = h_lo * tan_szen * cos_saz
+            y_off_max = h_hi * tan_szen * cos_saz
+            longest = np.maximum(np.abs(x_off_max - x_off_min),
+                                 np.abs(y_off_max - y_off_min))
+            num_steps = np.maximum(
+                1, np.ceil(longest / C.X_RES)).astype(np.int64)
+            x_step = (x_off_max - x_off_min) / num_steps
+            y_step = (y_off_max - y_off_min) / num_steps
+            trow0 = pdf["trow0"].to_numpy(np.int64)
+            rows_ends = []
+            for i in (np.zeros_like(num_steps), num_steps - 1):
+                hh = (x_off_min + i * x_step) / (tan_szen * sin_saz)
+                y_off = y_off_min + i * y_step - hh * tan_vzen * cos_vaz
+                ro = np.trunc(y_off / C.Y_RES).astype(np.int64)
+                rows_ends.append(trow0 - ro)
+            rs = np.stack(rows_ends)
+            tnr = pdf["trmax"].to_numpy(np.int64) - trow0 + 1
+            win_r0 = np.maximum(0, rs.min(axis=0) - 1)  # -1: ULP guard
+            win_r1 = rs.max(axis=0) + tnr  # (+ tnr - 1) + 1 ULP guard
+            yield pd.DataFrame({
+                "cell_id": pdf["cell_id"].to_numpy(),
+                "cloud_id": pdf["cloud_id"].to_numpy(np.int64),
+                "win_r0": win_r0.astype(np.int32),
+                "win_r1": win_r1.astype(np.int32)})
 
     windows = _mat("dist_windows", lambda: wdim0.mapInPandas(
         windows_map, schema=win_schema))

@@ -66,8 +66,9 @@ def run_available_now(df: DataFrame, query_name: str,
 
 
 def stream_dedup_first(spark: SparkSession, input_dir: str,
-                       max_files_per_trigger: int | None = None
-                       ) -> DataFrame:
+                       max_files_per_trigger: int | None = None,
+                       state_ttl_sec: int | None = None,
+                       watermark: str = "0 seconds") -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState):
     cross-micro-batch exact dedup that emits only each text digest's
     FIRST occurrence (earliest warc_ts; url as the deterministic tie
@@ -77,10 +78,20 @@ def stream_dedup_first(spark: SparkSession, input_dir: str,
     and a better (earlier) occurrence replaces the held one.
 
     Scale shape: state is keyed by the digest (hash-partitioned, one
-    tiny tuple per distinct document), exactly the bounded-state
-    pattern the north rule's lineage/resume story needs; no watermark
-    is used because digest state must live for the crawl's duration
-    (production would age it out with a GroupStateTimeout)."""
+    tiny tuple per distinct document). ``state_ttl_sec`` bounds state
+    in EVENT time: an occurrence arriving more than the TTL after the
+    retained first occurrence is re-admitted as a fresh first sighting,
+    and state whose deadline the event-time watermark has passed is
+    physically evicted (EventTimeTimeout; requires the ``watermark``
+    delay). Event-time ageing is chosen over a wall-clock
+    ProcessingTimeTimeout deliberately: it is deterministic under
+    replay, and Spark's available-now trigger never terminates with a
+    processing-time timeout (shouldRunAnotherBatch is unconditionally
+    true for it, measured as an infinite empty-batch loop), while
+    event-time timeouts re-trigger only while the watermark advances.
+    The default (state_ttl_sec=None) keeps digests for the crawl's
+    duration with NoTimeout. Each micro-batch group is reduced with
+    vectorized pandas ops (sort + head), no per-row Python."""
     from typing import Any, Iterable, Iterator
 
     import pandas as pd
@@ -95,27 +106,54 @@ def stream_dedup_first(spark: SparkSession, input_dir: str,
         derive.documents_wide_sql(SPARK, "documents_dedup_stream"))
     keyed = docs.select(
         F.expr("md5(text) AS digest"), "url", "warc_ts")
+    if state_ttl_sec is not None:
+        keyed = keyed.withWatermark("warc_ts", watermark)
 
     out_schema = "digest string, url string, warc_ts timestamp"
     state_schema = "url string, warc_ts timestamp"
 
     def first_seen(key: Any, pdfs: Iterable[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed the digest's deadline: forget it; its
+            # next occurrence is admitted as a fresh first sighting
+            state.remove()
+            return
         best_url, best_ts = (state.get if state.exists else (None, None))
+        frames = [pdf[["warc_ts", "url"]] for pdf in pdfs if len(pdf)]
         emit = False
-        for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                ts = row.warc_ts
-                if (best_ts is None or ts < best_ts
-                        or (ts == best_ts and row.url < best_url)):
-                    best_url, best_ts = row.url, ts
-                    emit = True
+        if frames:
+            batch = frames[0] if len(frames) == 1 else pd.concat(frames)
+            cand = batch.sort_values(["warc_ts", "url"]).iloc[0]
+            if (state_ttl_sec is not None and best_ts is not None
+                    and cand.warc_ts - best_ts
+                    > pd.Timedelta(seconds=state_ttl_sec)):
+                # expired in event time relative to the retained first
+                # occurrence — even if the watermark hasn't evicted the
+                # state yet (it lags one batch), re-admit now so the
+                # decision is deterministic under replay
+                best_url, best_ts = None, None
+            if (best_ts is None or cand.warc_ts < best_ts
+                    or (cand.warc_ts == best_ts and cand.url < best_url)):
+                best_url, best_ts = cand.url, cand.warc_ts
+                emit = True
         if emit:
             state.update((best_url, best_ts))
+        if state_ttl_sec is not None and state.exists:
+            deadline = (int(best_ts.timestamp() * 1000)
+                        + state_ttl_sec * 1000)
+            # Spark requires the timeout timestamp to sit beyond the
+            # current watermark; clamp (affects only eviction timing,
+            # never the re-admission decision above)
+            state.setTimeoutTimestamp(
+                max(deadline, state.getCurrentWatermarkMs() + 1))
+        if emit:
             yield pd.DataFrame({"digest": [key[0]], "url": [best_url],
                                 "warc_ts": [best_ts]})
 
+    timeout = (GroupStateTimeout.EventTimeTimeout
+               if state_ttl_sec is not None else GroupStateTimeout.NoTimeout)
     return (keyed.groupBy("digest").applyInPandasWithState(
         first_seen, outputStructType=out_schema,
         stateStructType=state_schema, outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout))
+        timeoutConf=timeout))
