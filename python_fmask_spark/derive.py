@@ -636,11 +636,19 @@ thresholds AS (
 # ---------------------------------------------------------------------------
 
 
-def pass2_sql(d: str, sensor: str = "LANDSAT8") -> str:
+def pass2_sql(d: str, sensor: str = "LANDSAT8",
+              eqn17_cloud_prob_thresh: float | None = None) -> str:
     """wCloud/lCloud probability (Eqns 9-11,14,16 + Zhu15 Eqns 1-2;
     fmask/fmask.py:616-680) with the reference's 8-bit quantization
     (clip then uint8-truncate, fmask/fmask.py:673-676), and the per-cell
-    land threshold (Eqn 17 + 3% fallback, fmask/fmask.py:601-613)."""
+    land threshold (Eqn 17 + 3% fallback, fmask/fmask.py:601-613).
+
+    ``eqn17_cloud_prob_thresh`` is the constant term of the Eqn-17 land
+    threshold — the reference's per-run setEqn17CloudProbThresh /
+    --cloudprobthreshold knob (fmask/config.py:336-344; paper default
+    0.2, Zhu's MATLAB later used 0.225). None uses the module default."""
+    e17 = (C.EQN17_CLOUD_PROB_THRESH if eqn17_cloud_prob_thresh is None
+           else float(eqn17_cloud_prob_thresh))
     quant = "cast(floor(least(greatest({p} * %s, %s), %s)) as int)" % (
         C.PROB_SCALE, C.BYTE_MIN, C.BYTE_MAX)
     has_cirrus = sensor in ("LANDSAT8", "SENTINEL2")
@@ -674,9 +682,9 @@ lprob_hist AS (
 landthr AS (
   SELECT t.cell_id, case
     when coalesce(h.total, 0) < 0.03 * cast(t.non_null_count as double)
-      then {C.EQN17_CLOUD_PROB_THRESH}
-    else coalesce(cast(lt.v as double) / {C.PROB_SCALE} + {C.EQN17_CLOUD_PROB_THRESH},
-                  {C.EQN17_CLOUD_PROB_THRESH})
+      then {e17}
+    else coalesce(cast(lt.v as double) / {C.PROB_SCALE} + {e17},
+                  {e17})
     end AS land_threshold
   FROM thresholds t
   LEFT JOIN (SELECT cell_id, sum(cnt) AS total FROM lprob_hist

@@ -26,6 +26,21 @@ class FmaskParams:
     min_cloud_size_px: int = C.MIN_CLOUD_SIZE_PIXELS
     x_res: float = C.X_RES
     y_res: float = C.Y_RES
+    # Eqn-17 land-threshold constant — the reference's per-run
+    # setEqn17CloudProbThresh / CLI --cloudprobthreshold knob
+    # (fmask/config.py:336-344): paper default 0.2, Zhu's MATLAB
+    # later moved to 0.225. Threaded into the pass-2 landthr CTE.
+    eqn17_cloud_prob_thresh: float = C.EQN17_CLOUD_PROB_THRESH
+
+    @classmethod
+    def strict(cls, **overrides) -> "FmaskParams":
+        """The reference's setStrictFmask preset (fmask/config.py:269,
+        applied fmask/fmask.py:151-154): run strictly as per the Zhu &
+        Woodcock paper — no cloud buffer, 3-px shadow buffer; all other
+        knobs at their paper defaults. ``overrides`` fine-tune on top."""
+        base = dict(cloud_buffer_px=0, shadow_buffer_px=3)
+        base.update(overrides)
+        return cls(**base)
 
 
 def _to_raster(pdf: pd.DataFrame, col: str, H: int, W: int, fill, dtype):

@@ -346,7 +346,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         cols = ", ".join((*pipeline._KERNEL_COLS, "cell_rows"))
         p3 = _mat("dist_p3", lambda: spark.sql(pipeline.tail_sql_from_pass1(
             view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
-            thresholds_view=thr)))
+            thresholds_view=thr,
+            eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh)))
 
     # --- stage 1: interim cloud mask, tiled (cloudFinalPass tail)
     raw = p3

@@ -18,7 +18,8 @@ from .dialect import DUCKDB, SPARK
 def _ctes(d: str, upto: str, table: str = "documents",
           sensor: str = "LANDSAT8",
           s2_offsets: dict[str, int] | None = None,
-          angles: bool = False) -> str:
+          angles: bool = False,
+          eqn17_cloud_prob_thresh: float | None = None) -> str:
     # angles=False by default: none of the SQL-shaped oracle queries
     # read the per-pixel angle DN columns, and the ang_dim join that
     # feeds them is structural (unprunable). The kernel-path fixture
@@ -30,7 +31,9 @@ def _ctes(d: str, upto: str, table: str = "documents",
         "pass1": lambda d: derive.pass1_sql(d, sensor=sensor,
                                             s2_offsets=s2_offsets),
         "thresholds": lambda d: derive.thresholds_sql(d, sensor=sensor),
-        "pass2": lambda d: derive.pass2_sql(d, sensor=sensor),
+        "pass2": lambda d: derive.pass2_sql(
+            d, sensor=sensor,
+            eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh),
         "pass3": lambda d: derive.pass3_sql(d, sensor=sensor),
         "majority": lambda d: derive.majority3_sql(d, "pass3", "cloud_raw", "cloudbuf"),
     }
@@ -88,10 +91,14 @@ SELECT cell_id, twater, tlow, thigh,
 FROM thresholds"""
 
 
-def q_pass2_probs(d: str) -> str:
+def q_pass2_probs(d: str,
+                  eqn17_cloud_prob_thresh: float | None = None) -> str:
     """Per-cell aggregated quantized cloud probabilities (pass2 stack,
-    fmask/fmask.py:673-676) and the Eqn-17 land threshold."""
-    ctes = _ctes(d, "pass2")
+    fmask/fmask.py:673-676) and the Eqn-17 land threshold. The optional
+    knob mirrors the reference's --cloudprobthreshold
+    (fmask/config.py:336-344)."""
+    ctes = _ctes(d, "pass2",
+                 eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh)
     return f"""{ctes}
 SELECT p.cell_id,
   cast(sum(p.wprob_pcnt) as bigint) AS sum_wprob,

@@ -191,20 +191,27 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
 
 def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
                         sensor: str = "LANDSAT8",
-                        thresholds_view: str | None = None) -> str:
+                        thresholds_view: str | None = None,
+                        eqn17_cloud_prob_thresh: float | None = None
+                        ) -> str:
     """Thresholds/pass2/pass3 CTE chain over a materialized pass-1 view.
 
     ``thresholds_view`` substitutes a materialized thresholds leaf for
     the (textually large) thresholds CTE — Catalyst re-analyzes the
     window-function stack per consumer otherwise, which dominates wall
     time at small scale and is pure waste at any scale (thresholds is a
-    per-cell dim, rows == cells)."""
+    per-cell dim, rows == cells). The Eqn-17 knob renders into the
+    pass-2 landthr CTE fresh per query, so a non-default value composes
+    with the session-cached pass-1/thresholds leaves (which it does not
+    depend on)."""
     builders = [f"pass1 AS (SELECT * FROM {pass1_view})",
                 (f"thresholds AS (SELECT * FROM {thresholds_view})"
                  if thresholds_view
                  else derive.thresholds_sql(SPARK, sensor=sensor))]
     if upto in ("pass2", "pass3"):
-        builders.append(derive.pass2_sql(SPARK, sensor=sensor))
+        builders.append(derive.pass2_sql(
+            SPARK, sensor=sensor,
+            eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh))
     if upto == "pass3":
         builders.append(derive.pass3_sql(SPARK, sensor=sensor))
     ctes = ",\n".join(builders)
@@ -239,7 +246,8 @@ def materialize_thresholds(spark: SparkSession, table: str = "documents",
 def pass3_df(spark: SparkSession, table: str = "documents",
              sensor: str = "LANDSAT8",
              s2_offsets: dict[str, int] | None = None,
-             s2_cdi: bool = False) -> DataFrame:
+             s2_cdi: bool = False,
+             eqn17_cloud_prob_thresh: float | None = None) -> DataFrame:
     view = materialize_pass1(spark, table, sensor=sensor,
                              s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     thr = materialize_thresholds(spark, table, sensor=sensor,
@@ -247,7 +255,8 @@ def pass3_df(spark: SparkSession, table: str = "documents",
     cols = ", ".join(_KERNEL_COLS)
     return spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
-        thresholds_view=thr))
+        thresholds_view=thr,
+        eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh))
 
 
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
@@ -275,7 +284,9 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
     # persist: with_halo explodes its input — without a materialization
     # point Spark recomputes the whole pass-1..3 derivation per consumer.
     p3 = pass3_df(spark, table, sensor=sensor, s2_offsets=s2_offsets,
-                  s2_cdi=s2_cdi).select(
+                  s2_cdi=s2_cdi,
+                  eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh
+                  ).select(
         "url", "cell_id", "r", "c", "nullmask",
         "water_test", "snow", "cloud_raw").localCheckpoint()
 
@@ -421,7 +432,9 @@ def s2_cdi_pcp(spark: SparkSession, table: str = "documents",
 def scene_exchange(spark: SparkSession, table: str = "documents",
                    sensor: str = "LANDSAT8",
                    s2_offsets: dict[str, int] | None = None,
-                   s2_cdi: bool = False) -> tuple[DataFrame, DataFrame]:
+                   s2_cdi: bool = False,
+                   eqn17_cloud_prob_thresh: float | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
     """The slim scene-kernel exchange: (pixel frame, per-cell dim frame).
 
     Pixel frame = 8 narrow fields (no url, booleans packed into one
@@ -438,7 +451,8 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
                                  s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     px = spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3",
-        sensor=sensor, thresholds_view=thr))
+        sensor=sensor, thresholds_view=thr,
+        eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh))
     ang = ", ".join(f"first({k}) AS {k}" for k in DIM_COLS[3:])
     dims = spark.sql(tail_sql_from_pass1(
         view, "thresholds",
@@ -484,8 +498,9 @@ def classify(spark: SparkSession, table: str = "documents",
 
     params = params or FmaskParams()
     ensure_package_on_executors(spark)
-    px, dims = scene_exchange(spark, table, sensor=sensor,
-                              s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+    px, dims = scene_exchange(
+        spark, table, sensor=sensor, s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+        eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh)
     view = materialize_pass1(spark, table, sensor=sensor,
                              s2_offsets=s2_offsets, s2_cdi=s2_cdi)
     ident = spark.sql(
@@ -588,7 +603,8 @@ def classify_auto(spark: SparkSession, table: str = "documents",
     cols = ", ".join((*_KERNEL_COLS, "cell_rows"))
     p3_big = (spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
-        thresholds_view=thr))
+        thresholds_view=thr,
+        eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh))
         .join(F.broadcast(big), "cell_id", "left_semi")
         .localCheckpoint())
     dig_big = text_digests(spark, table)
