@@ -286,6 +286,20 @@ def _fmask_final_class_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cloud_id", "cloud_height_du", "text_sha256")
 
 
+def _fmask_final_class_l47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full shadow-chain classify under the LANDSAT 4-7 (TM/ETM+)
+    regime: thermal chain like L8 but NO cirrus band — 6-band null
+    test, cirrus_band_test false, no cirrus probability term,
+    cloudmask3 active (fmask/config.py:33-40,123-133;
+    fmask/fmask.py:290-306,747-757). Oracle = an L47-regime
+    independent-replay fixture — green proves the third reference
+    sensor family end-to-end (L8 and S2 ± CDI are the other two)."""
+    register_views(spark, sf_dir)
+    out = pipeline.classify(spark, sensor="LANDSAT47")
+    return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                          "cloud_id", "cloud_height_du", "text_sha256")
+
+
 def _fmask_final_class_dist_s2(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """Clump-parallel distributed classify under the NO-THERMAL regime
@@ -607,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_dist"] = _fmask_final_class_dist
     out["fmask_final_class_auto"] = _fmask_final_class_auto
     out["fmask_final_class_s2"] = _fmask_final_class_s2
+    out["fmask_final_class_l47"] = _fmask_final_class_l47
     out["fmask_interim_class_s2_cdi"] = _fmask_interim_class_s2_cdi
     out["fmask_final_class_s2_cdi"] = _fmask_final_class_s2_cdi
     out["fmask_final_class_dist_s2"] = _fmask_final_class_dist_s2
@@ -662,6 +677,12 @@ SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2.parquet')"""
     # distributed no-thermal: same S2 fixture as the whole-cell path
     out["fmask_final_class_dist_s2"] = out["fmask_final_class_s2"]
+    # Landsat 4-7 regime (no cirrus, 6-band null, cloudmask3 active),
+    # own independent-replay fixture
+    out["fmask_final_class_l47"] = f"""
+SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
+       text_sha256
+FROM read_parquet('{_FIXTURES}/shadow_oracle_final_l47.parquet')"""
     # S2 + CDI composed end-to-end (pcp_i = the composed pass-1 PCP)
     out["fmask_final_class_s2_cdi"] = f"""
 SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,

@@ -108,6 +108,28 @@ def main() -> None:
     final.to_parquet(f"{OUT_DIR}/shadow_oracle_final.parquet", index=False)
     shadow.to_parquet(f"{OUT_DIR}/shadow_oracle_fill.parquet", index=False)
 
+    # Landsat 4-7 (TM/ETM+) regime: thermal chain like L8 but NO cirrus
+    # band — 6 null-test bands, cirrus_band_test false in pass 1, no
+    # cirrus term in pass 2, cloudmask3 active (fmask/config.py:33-40,
+    # 123-133; fmask/fmask.py:290-306,747-757). Same independent /
+    # engine cross-assert as the L8 fixture; the shadow kernel itself
+    # is identical (both sensors have thermal), so this pins the
+    # sensor DISPATCH through the full chain.
+    p3l47 = pass3_duckdb(con, sensor="LANDSAT47")
+    l47_parts = []
+    for cell_id, pdf in p3l47.groupby("cell_id", sort=True):
+        pdf = pdf.reset_index(drop=True)
+        indep = classify_scene_independent(pdf)
+        engine = classify_scene(pdf, params)
+        pd.testing.assert_frame_equal(
+            indep.sort_values("url").reset_index(drop=True),
+            engine.sort_values("url").reset_index(drop=True),
+            check_dtype=True)
+        l47_parts.append(indep)
+    l47 = pd.concat(l47_parts, ignore_index=True)
+    l47.to_parquet(f"{OUT_DIR}/shadow_oracle_final_l47.parquet",
+                   index=False)
+
     # Sentinel-2 (no-thermal) regime: the full shadow chain with the
     # thermal terms degenerate (flat clouds, Tcloudbase = 0, Tlow/Thigh
     # -> 0/10 defaults, cloudmask3 off; fmask/fmask.py:645-649,747-748,
@@ -155,8 +177,8 @@ def main() -> None:
     s2cdi.to_parquet(f"{OUT_DIR}/shadow_oracle_final_s2_cdi.parquet",
                      index=False)
     print(f"wrote {len(final)} final rows, {len(shadow)} fill rows, "
-          f"{len(s2)} s2 rows, {len(s2cdi)} s2+cdi rows "
-          f"to {OUT_DIR} (from {SF_DIR})")
+          f"{len(l47)} l47 rows, {len(s2)} s2 rows, {len(s2cdi)} s2+cdi "
+          f"rows to {OUT_DIR} (from {SF_DIR})")
 
 
 if __name__ == "__main__":
