@@ -32,6 +32,15 @@ def _s2_fixture_offsets() -> dict[str, int]:
         "/root/repo/tests/fixtures/MTD_MSIL1C_fixture.xml")
     return sen2meta.make_ref_offset_dict(meta)
 
+
+def _s2_tile_meta():
+    """S7 end-to-end: the tile-XML sun/view angle grids
+    (sen2meta.Sen2TileMeta) that parameterize the grid-angle lookup —
+    the reference's sentinel2makeAnglesImage.py:95-123 path."""
+    from python_fmask_spark import sen2meta
+    return sen2meta.Sen2TileMeta.from_file(
+        "/root/repo/tests/fixtures/MTD_TL_fixture.xml")
+
 # name -> builder(dialect) returning a full SQL string over the
 # pre-registered views. Spark runs the SPARK rendering (declarative,
 # Catalyst-optimized); the driver runs the DUCKDB rendering as oracle.
@@ -54,6 +63,11 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "fmask_interim_class_s2_cdi": lambda d:
         oracle.q_fmask_interim_class_s2_cdi(
             d, s2_offsets=oracle.S2_ZERO_OFFSETS),
+    # tile-XML angle grids -> per-cell + per-pixel bilinear lookup; the
+    # grid VALUES are inlined from the fixture XML in BOTH dialects, so
+    # the hash match proves the angles carry the XML's numbers
+    "sat_angles_grid": lambda d: angles.q_sat_angles_grid(
+        d, _s2_tile_meta()),
     # dedup family
     "dedup_exact": dedup.q_exact_dedup,
     "dedup_minhash_signatures": dedup.q_minhash_signatures,
@@ -284,6 +298,40 @@ def _fmask_final_class_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
                             s2_offsets=oracle.S2_ZERO_OFFSETS)
     return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
                           "cloud_id", "cloud_height_du", "text_sha256")
+
+
+def _fmask_final_class_s2_grid(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Full S2 no-thermal shadow chain with the tile XML's ANGLE GRIDS
+    wired in end-to-end (S7 + the sentinel2makeAnglesImage.py:95-123
+    grid->pixel bilinear path): pass 1 derives its per-cell sun/view
+    scalars and per-pixel *_cdn DN stack from
+    sen2meta.s2_grid_angle_parts over the parsed fixture XML instead of
+    the synthetic swathe, and the scene kernel consumes them for shadow
+    projection/matching. Oracle = an independent-replay fixture built
+    from the SAME XML; the emitted *_cdn columns (joined back from the
+    grid-angle pass-1 leaf) make the hash provably carry the XML grid
+    values."""
+    register_views(spark, sf_dir)
+    meta = _s2_tile_meta()
+    out = pipeline.classify(spark, sensor="SENTINEL2",
+                            s2_offsets=oracle.S2_ZERO_OFFSETS,
+                            tile_meta=meta)
+    view = pipeline.materialize_pass1(
+        spark, sensor="SENTINEL2", s2_offsets=oracle.S2_ZERO_OFFSETS,
+        tile_meta=meta)
+    ang = spark.sql(
+        f"""SELECT cell_id, r, c,
+              cast(sat_az_cdn as int) AS sat_az_cdn,
+              cast(sat_zen_cdn as int) AS sat_zen_cdn,
+              cast(sun_az_cdn as int) AS sun_az_cdn,
+              cast(sun_zen_cdn as int) AS sun_zen_cdn
+            FROM {view}""")
+    return (out.join(ang, ["cell_id", "r", "c"])
+            .selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                        "cloud_id", "cloud_height_du", "text_sha256",
+                        "sat_az_cdn", "sat_zen_cdn", "sun_az_cdn",
+                        "sun_zen_cdn"))
 
 
 def _fmask_final_class_l47(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +585,7 @@ _BOARD_ORDER: tuple[str, ...] = (
     "fmask_final_class_s2",
     "fmask_final_class_dist_s2",
     "fmask_final_class_s2_cdi",
+    "fmask_final_class_s2_grid",
     "fmask_final_class_l47",
     "mask_sink_roundtrip",
     "stream_pass1_counts",
@@ -561,7 +610,6 @@ _BOARD_ORDER: tuple[str, ...] = (
     # LLM-data-pipeline operators
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_url_canonical",
@@ -587,6 +635,7 @@ _BOARD_ORDER: tuple[str, ...] = (
     # ---- position 51+: redundant-coverage tail (off the driver
     # record by design; re-drivable, green since round 2) ----
     "dedup_minhash_signatures",
+    "dedup_simhash",
     "value_index",
     "cell_corners",
     "rel_lineitem_agg",
@@ -621,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_dist"] = _fmask_final_class_dist
     out["fmask_final_class_auto"] = _fmask_final_class_auto
     out["fmask_final_class_s2"] = _fmask_final_class_s2
+    out["fmask_final_class_s2_grid"] = _fmask_final_class_s2_grid
     out["fmask_final_class_l47"] = _fmask_final_class_l47
     out["fmask_interim_class_s2_cdi"] = _fmask_interim_class_s2_cdi
     out["fmask_final_class_s2_cdi"] = _fmask_final_class_s2_cdi
@@ -677,6 +727,12 @@ SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2.parquet')"""
     # distributed no-thermal: same S2 fixture as the whole-cell path
     out["fmask_final_class_dist_s2"] = out["fmask_final_class_s2"]
+    # S2 regime with XML-grid angles wired end-to-end; the *_cdn
+    # columns carry the XML grid values into the hash
+    out["fmask_final_class_s2_grid"] = f"""
+SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
+       text_sha256, sat_az_cdn, sat_zen_cdn, sun_az_cdn, sun_zen_cdn
+FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2_grid.parquet')"""
     # Landsat 4-7 regime (no cirrus, 6-band null, cloudmask3 active),
     # own independent-replay fixture
     out["fmask_final_class_l47"] = f"""

@@ -334,7 +334,8 @@ def round_half_away(expr: str, d: str) -> str:
 
 def features_sql(d: str, docs_sql: str, layout: bool = True,
                  cell_deg: float | None = None,
-                 angles: bool = True) -> str:
+                 angles: bool = True,
+                 tile_meta=None) -> str:
     """Full doc_features derivation as a CTE chain over documents_wide.
 
     Pixel layout: within each cell, documents are laid out row-major in
@@ -350,7 +351,15 @@ def features_sql(d: str, docs_sql: str, layout: bool = True,
     ang_dim broadcast join that feeds them. The join is structural (an
     inner join can't be pruned by Catalyst even when no angle column is
     selected), so only consumers of sat/sun DN columns — the scene
-    kernel path and q_sat_angles — should pay for it."""
+    kernel path and q_sat_angles — should pay for it.
+
+    ``tile_meta`` (a :class:`~.sen2meta.Sen2TileMeta`) replaces BOTH the
+    synthetic per-cell angle scalars and the per-pixel DN stack with
+    bilinear lookups into the tile XML's sun/view grids
+    (sen2meta.s2_grid_angle_parts — the reference's
+    sentinel2makeAnglesImage.py:95-123 path). Requires ``layout`` and
+    ``angles``; output schema is identical to the synthetic path so
+    every pass-1 tail consumer works unchanged."""
     geo = geo_exprs(d, cell_deg=cell_deg)
     bands = band_exprs(d)
     ang = angle_exprs(d)
@@ -381,7 +390,22 @@ feat3 AS (
   SELECT *, max(r) OVER (PARTITION BY cell_id) + 1 AS cell_rows
   FROM feat2
 )"""
-        if angles:
+        if tile_meta is not None:
+            if not angles:
+                raise ValueError("tile_meta requires angles=True")
+            from .sen2meta import s2_grid_angle_parts
+            carry = ("url", "warc_ts", "text", "lang", "domain", "lat",
+                     "lon", "cell_x", "cell_y", "latent", "bright",
+                     "cell_id", *bands.keys(), "idx", "r", "c",
+                     "cell_rows")
+            gctes, gsel = s2_grid_angle_parts(
+                d, tile_meta, "feat3", carry=carry, cells_src="geo2")
+            tail = f"""{layout_ctes},
+{gctes},
+features AS (
+{gsel}
+)"""
+        elif angles:
             satsel = ", ".join(f"{e} AS {n}"
                                for n, e in sat_angle_px_exprs(d).items())
             # ang_dim is ~1 row per cell: Spark broadcast-joins it back

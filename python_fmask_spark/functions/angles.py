@@ -105,6 +105,27 @@ SELECT url, cell_id, r, c,
 FROM features"""
 
 
+def q_sat_angles_grid(d: str, meta) -> str:
+    """S7+P29+A13 wired end-to-end: the tile XML's sun/view angle grids
+    (mean-over-bands view, sentinel2makeAnglesImage.py:95-107) bilinearly
+    resampled per cell and per pixel (:95-123) via
+    sen2meta.s2_grid_angle_parts. The grid VALUES are inlined from the
+    parsed fixture XML, so a matching oracle hash proves the pipeline's
+    angles carry the XML's numbers. Per-cell radians are emitted as
+    nano-int for a dtype-stable compare; the *_cdn columns are already
+    the reference's round(radians*100) int DN form."""
+    feats = features_sql(d, documents_wide_sql(d, "documents"),
+                         tile_meta=meta)
+    nano = ", ".join(
+        f"cast(round({c} * 1000000000.0) as bigint) AS {c}_nano"
+        for c in ("sun_az", "sun_zen", "sat_az", "sat_zen"))
+    return f"""
+WITH {feats}
+SELECT url, cell_id, r, c, {nano},
+  sat_az_cdn, sat_zen_cdn, sun_az_cdn, sun_zen_cdn
+FROM features"""
+
+
 def q_toa_reflectance(d: str) -> str:
     """TOA reflectance (riosTOA, fmask/landsatTOA.py:118-148):
     p = pi * L * d^2 / (ESUN * cos(theta_z)), clipped to [0, 2] and scaled

@@ -19,13 +19,14 @@ def _ctes(d: str, upto: str, table: str = "documents",
           sensor: str = "LANDSAT8",
           s2_offsets: dict[str, int] | None = None,
           angles: bool = False,
-          eqn17_cloud_prob_thresh: float | None = None) -> str:
+          eqn17_cloud_prob_thresh: float | None = None,
+          tile_meta=None) -> str:
     # angles=False by default: none of the SQL-shaped oracle queries
     # read the per-pixel angle DN columns, and the ang_dim join that
     # feeds them is structural (unprunable). The kernel-path fixture
     # replay (scripts/make_shadow_fixture.py) passes angles=True.
     parts = [derive.features_sql(d, derive.documents_wide_sql(d, table),
-                                 angles=angles)]
+                                 angles=angles, tile_meta=tile_meta)]
     order = ["pass1", "thresholds", "pass2", "pass3", "majority"]
     builders = {
         "pass1": lambda d: derive.pass1_sql(d, sensor=sensor,

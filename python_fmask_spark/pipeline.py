@@ -35,13 +35,15 @@ _KERNEL_COLS = ("url", "cell_id", "r", "c", "nir", "bt",
 
 
 def pass1_sql_text(table: str = "documents", sensor: str = "LANDSAT8",
-                   s2_offsets: dict[str, int] | None = None) -> str:
+                   s2_offsets: dict[str, int] | None = None,
+                   tile_meta=None) -> str:
     """The rendered pass-1 SQL (features + pass1 CTEs). Also serves as
     the logic component of resumable-stage fingerprints: any change to
     the derive formulas, sensor dispatch, or offsets changes this text
     and therefore invalidates StageRunner stage tables."""
     p1_ctes = ",\n".join([
-        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table)),
+        derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table),
+                            tile_meta=tile_meta),
         derive.pass1_sql(SPARK, sensor=sensor, s2_offsets=s2_offsets),
     ])
     return f"WITH {p1_ctes} SELECT * FROM pass1"
@@ -109,7 +111,8 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
                       reuse: bool = True, runner=None,
                       sensor: str = "LANDSAT8",
                       s2_offsets: dict[str, int] | None = None,
-                      s2_cdi: bool = False) -> str:
+                      s2_cdi: bool = False,
+                      tile_meta=None) -> str:
     """Materialize pass 1 behind a leaf view and return the view name.
 
     Catalyst inlines deterministic CTEs per reference; the thresholds +
@@ -132,7 +135,8 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
     survives restarts and makes classify resumable mid-pipeline). Both
     forms register the same leaf view name, so every downstream plan is
     identical either way."""
-    skey = sensor + ("_cdi" if s2_cdi else "")
+    skey = sensor + ("_cdi" if s2_cdi else "") \
+        + ("_grid" if tile_meta is not None else "")
     suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_pass1_mat_{table}{suffix}"
     cache = _PASS1_CACHE.setdefault(spark, {})
@@ -155,7 +159,8 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
         offs = require_s2_offsets(s2_offsets)
         ensure_package_on_executors(spark)
         raw_view = materialize_pass1(spark, table, reuse=reuse,
-                                     sensor=sensor, s2_offsets=s2_offsets)
+                                     sensor=sensor, s2_offsets=s2_offsets,
+                                     tile_meta=tile_meta)
         kout = (spark.sql(
             f"SELECT {_cdi_src_select(offs)} FROM {raw_view}")
             .groupBy("cell_id").applyInPandas(
@@ -171,7 +176,8 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
         mod.localCheckpoint().createOrReplaceTempView(view)
         cache[(table, skey)] = view
         return view
-    sql = pass1_sql_text(table, sensor=sensor, s2_offsets=s2_offsets)
+    sql = pass1_sql_text(table, sensor=sensor, s2_offsets=s2_offsets,
+                         tile_meta=tile_meta)
     if runner is not None:
         fp = stage_fingerprint(spark, f"{table}:{sql}")
         p1 = runner.run("pass1", fp, lambda: spark.sql(sql))
@@ -221,12 +227,14 @@ def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
 def materialize_thresholds(spark: SparkSession, table: str = "documents",
                            sensor: str = "LANDSAT8",
                            s2_offsets: dict[str, int] | None = None,
-                           s2_cdi: bool = False) -> str:
+                           s2_cdi: bool = False,
+                           tile_meta=None) -> str:
     """Materialize the per-cell thresholds dim (rows == cells, tiny)
     behind a leaf view, session-cached like pass 1. Every tail consumer
     (pass2/pass3/dims) then references a leaf instead of re-analyzing
     the 6-window-function thresholds CTE."""
-    skey = sensor + ("_cdi" if s2_cdi else "")
+    skey = sensor + ("_cdi" if s2_cdi else "") \
+        + ("_grid" if tile_meta is not None else "")
     suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_thr_mat_{table}{suffix}"
     cache = _PASS1_CACHE.setdefault(spark, {})
@@ -234,7 +242,8 @@ def materialize_thresholds(spark: SparkSession, table: str = "documents",
     if cache.get(key) == view and spark.catalog.tableExists(view):
         return view
     p1view = materialize_pass1(spark, table, sensor=sensor,
-                               s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+                               s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                               tile_meta=tile_meta)
     sql = (f"WITH pass1 AS (SELECT * FROM {p1view}), "
            f"{derive.thresholds_sql(SPARK, sensor=sensor)} "
            f"SELECT * FROM thresholds")
@@ -433,8 +442,8 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
                    sensor: str = "LANDSAT8",
                    s2_offsets: dict[str, int] | None = None,
                    s2_cdi: bool = False,
-                   eqn17_cloud_prob_thresh: float | None = None
-                   ) -> tuple[DataFrame, DataFrame]:
+                   eqn17_cloud_prob_thresh: float | None = None,
+                   tile_meta=None) -> tuple[DataFrame, DataFrame]:
     """The slim scene-kernel exchange: (pixel frame, per-cell dim frame).
 
     Pixel frame = 8 narrow fields (no url, booleans packed into one
@@ -446,9 +455,11 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
     from .operators.scene import DIM_COLS, PX_EXCHANGE_SQL
 
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                             tile_meta=tile_meta)
     thr = materialize_thresholds(spark, table, sensor=sensor,
-                                 s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+                                 s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                                 tile_meta=tile_meta)
     px = spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3",
         sensor=sensor, thresholds_view=thr,
@@ -475,7 +486,8 @@ def classify(spark: SparkSession, table: str = "documents",
              cells_mode: str = "semi",
              sensor: str = "LANDSAT8",
              s2_offsets: dict[str, int] | None = None,
-             s2_cdi: bool = False) -> DataFrame:
+             s2_cdi: bool = False,
+             tile_meta=None) -> DataFrame:
     """Full classification: returns (url, cell_id, r, c, fmask_class,
     cloud_id, ..., text_sha256). ``table`` must be a registered view
     with the raw documents schema.
@@ -500,9 +512,11 @@ def classify(spark: SparkSession, table: str = "documents",
     ensure_package_on_executors(spark)
     px, dims = scene_exchange(
         spark, table, sensor=sensor, s2_offsets=s2_offsets, s2_cdi=s2_cdi,
-        eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh)
+        eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh,
+        tile_meta=tile_meta)
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                             tile_meta=tile_meta)
     ident = spark.sql(
         f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
             FROM {view}""")

@@ -261,6 +261,17 @@ def require_s2_offsets(offsets: dict[str, int] | None) -> dict[str, int]:
     return offsets
 
 
+def _mean_view_grids(meta: Sen2TileMeta) -> tuple[np.ndarray, np.ndarray]:
+    """Mean-over-bands view zenith/azimuth grids (the reference's
+    sentinel2makeAnglesImage.py:95-107 meanOverBands)."""
+    sz = meta.sun_zenith_grid
+    vz = (np.nanmean(np.stack(list(meta.view_zenith.values())), axis=0)
+          if meta.view_zenith else np.full_like(sz, np.nan))
+    va = (np.nanmean(np.stack(list(meta.view_azimuth.values())), axis=0)
+          if meta.view_azimuth else np.full_like(sz, np.nan))
+    return vz, va
+
+
 def angle_grid_df(spark, meta: Sen2TileMeta):
     """The tile's sun/view angle grids as a small DataFrame
     (grid_r, grid_c, sun_zen_deg, sun_az_deg, view_zen_deg, view_az_deg)
@@ -271,10 +282,7 @@ def angle_grid_df(spark, meta: Sen2TileMeta):
 
     sz = meta.sun_zenith_grid
     sa = meta.sun_azimuth_grid
-    vz = (np.nanmean(np.stack(list(meta.view_zenith.values())), axis=0)
-          if meta.view_zenith else np.full_like(sz, np.nan))
-    va = (np.nanmean(np.stack(list(meta.view_azimuth.values())), axis=0)
-          if meta.view_azimuth else np.full_like(sz, np.nan))
+    vz, va = _mean_view_grids(meta)
     h, w = sz.shape
     rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     pdf = pd.DataFrame({
@@ -286,3 +294,159 @@ def angle_grid_df(spark, meta: Sen2TileMeta):
         "view_az_deg": va.ravel().astype(np.float64),
     })
     return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Grid -> pixel bilinear angle lookup, single-source SQL for both dialects
+# (the sentinel2makeAnglesImage.py:95-123 path: mean-over-bands view
+# grids + sun grids, resampled to pixels, emitted in the reference's
+# DN form round(radians * 100); SCALE_TO_RADIANS = 0.01).
+# ---------------------------------------------------------------------------
+
+# ESA angle grids are sampled every 5000 m (COL_STEP/ROW_STEP in the
+# tile XML; fmask/sen2meta.py reads them alongside the grid values).
+ANGLE_GRID_RES_M = 5000.0
+
+_ANGLE_COLS = ("sun_az", "sun_zen", "sat_az", "sat_zen",
+               "sat_az_cdn", "sat_zen_cdn", "sun_az_cdn", "sun_zen_cdn")
+
+
+def _grid_values_cte(meta: Sen2TileMeta, d: str) -> str:
+    """s2grid CTE: the parsed XML grids inlined as a VALUES table —
+    the oracle rendering therefore provably carries the fixture XML's
+    numbers, and the Spark side broadcast-joins the same 9-529 rows."""
+    sz, sa = meta.sun_zenith_grid, meta.sun_azimuth_grid
+    vz, va = _mean_view_grids(meta)
+    h, w = sz.shape
+    rows = ", ".join(
+        f"({i}, {j}, {float(sz[i, j])!r}, {float(sa[i, j])!r}, "
+        f"{float(vz[i, j])!r}, {float(va[i, j])!r})"
+        for i in range(h) for j in range(w))
+    cols = "grid_r, grid_c, sun_zen_deg, sun_az_deg, view_zen_deg, view_az_deg"
+    if d == "spark":
+        return (f"s2grid AS (SELECT * FROM VALUES {rows} AS t({cols}))")
+    return f"s2grid AS (SELECT * FROM (VALUES {rows}) AS t({cols}))"
+
+
+def _bilinear(prefix: str, col: str, fy: str, fx: str) -> str:
+    return (f"({prefix}00.{col} * (1.0 - {fy}) * (1.0 - {fx}) "
+            f"+ {prefix}01.{col} * (1.0 - {fy}) * {fx} "
+            f"+ {prefix}10.{col} * {fy} * (1.0 - {fx}) "
+            f"+ {prefix}11.{col} * {fy} * {fx})")
+
+
+def s2_grid_angle_parts(d: str, meta: Sen2TileMeta, px_src: str,
+                        carry: tuple[str, ...] = ("url", "cell_id", "r", "c"),
+                        cells_src: str | None = None,
+                        x_res: float | None = None,
+                        y_res: float | None = None) -> tuple[str, str]:
+    """(ctes, final_select) computing the 8 grid-derived angle columns
+    for every row of ``px_src`` (must expose cell_id, r, c). Embed as
+    ``WITH {features...}, {ctes}, out AS ({final_select})``; ``carry``
+    names the source columns to pass through (they must not collide
+    with the angle outputs). ``cells_src`` optionally names a cheaper
+    CTE to take DISTINCT cell_id from (pass-1 embedding passes the
+    pre-layout ``geo2`` so the per-cell dim never re-runs the
+    row_number window chain).
+
+    Semantics ([spec] — engine quantization/layout choices):
+      * each cell anchors at a deterministic fractional grid point
+        (md5(cell_id)-derived, uniform over the grid interior), its
+        pixels advancing from the anchor at x/y_res metres per pixel
+        over the 5000 m grid step — one tile XML serves every cell the
+        way one MTL serves every window in the reference;
+      * per-cell sun/view radians (sun_az..sat_zen) interpolate AT the
+        anchor (the whole-cell kernel consumes them as per-cell
+        constants, config.AnglesByPoint-style);
+      * per-pixel DN columns (\*_cdn) interpolate at pixel centres and
+        quantize to round(radians * 100) — the reference's int16 DN
+        form (sentinel2makeAnglesImage.py:110-117), which the per-clump
+        mean-angle lookup consumes.
+    All math is plain arithmetic over the VALUES grid (identical op
+    tree in both dialects; radians() is a constant multiply), so the
+    Spark and DuckDB renderings agree bit-for-bit."""
+    from . import constants as C
+    from .dialect import md5_slice_int
+
+    sz = meta.sun_zenith_grid
+    gh, gw = sz.shape
+    gh1, gw1 = gh - 1, gw - 1
+    xres = C.X_RES if x_res is None else x_res
+    yres = C.Y_RES if y_res is None else y_res
+    gres = ANGLE_GRID_RES_M
+    ay = md5_slice_int("cell_id", 21, 6, d)
+    ax = md5_slice_int("cell_id", 27, 6, d)
+    carry_sql = ", ".join(carry)
+    cells = cells_src or px_src
+    # the dim is ~1 row per cell and s2grid is the inlined XML VALUES
+    # (9-529 rows): broadcast both onto the pixel side on Spark
+    # (DuckDB reads the hints as comments)
+    dim_hint = "/*+ BROADCAST(d) */ " if d == "spark" else ""
+    grid_hint = ("/*+ BROADCAST(h00, h01, h10, h11) */ "
+                 if d == "spark" else "")
+
+    def dn(expr: str) -> str:
+        return f"cast(round({expr} * 100.0) as int)"
+
+    ctes = f"""{_grid_values_cte(meta, d)},
+s2ang_cdim AS (
+  SELECT cell_id, cgy, cgx,
+    radians({_bilinear('g', 'sun_az_deg', 'cfy', 'cfx')}) AS g_sun_az,
+    radians({_bilinear('g', 'sun_zen_deg', 'cfy', 'cfx')}) AS g_sun_zen,
+    radians({_bilinear('g', 'view_az_deg', 'cfy', 'cfx')}) AS g_sat_az,
+    radians({_bilinear('g', 'view_zen_deg', 'cfy', 'cfx')}) AS g_sat_zen
+  FROM (
+    SELECT cell_id, cgy, cgx,
+      cast(floor(cgy) as int) AS ci, cast(floor(cgx) as int) AS cj,
+      cgy - floor(cgy) AS cfy, cgx - floor(cgx) AS cfx
+    FROM (
+      SELECT cell_id,
+        least(cast(({ay} % {gh1 * 1000}) as double) / 1000.0,
+              {gh1} - 1e-9) AS cgy,
+        least(cast(({ax} % {gw1 * 1000}) as double) / 1000.0,
+              {gw1} - 1e-9) AS cgx
+      FROM (SELECT DISTINCT cell_id FROM {cells}) s2ang_cells
+    ) s2ang_c0
+  ) s2ang_c1
+  JOIN s2grid g00 ON g00.grid_r = ci AND g00.grid_c = cj
+  JOIN s2grid g01 ON g01.grid_r = ci AND g01.grid_c = cj + 1
+  JOIN s2grid g10 ON g10.grid_r = ci + 1 AND g10.grid_c = cj
+  JOIN s2grid g11 ON g11.grid_r = ci + 1 AND g11.grid_c = cj + 1
+),
+s2ang_px AS (
+  SELECT s2ang_b.*,
+    cast(floor(gy) as int) AS pi, cast(floor(gx) as int) AS pj,
+    gy - floor(gy) AS pfy, gx - floor(gx) AS pfx
+  FROM (
+    SELECT {dim_hint}b.*, d.g_sun_az, d.g_sun_zen, d.g_sat_az, d.g_sat_zen,
+      least(d.cgy + ((b.r + 0.5) * {yres} / {gres}), {gh1} - 1e-9) AS gy,
+      least(d.cgx + ((b.c + 0.5) * {xres} / {gres}), {gw1} - 1e-9) AS gx
+    FROM {px_src} b JOIN s2ang_cdim d ON d.cell_id = b.cell_id
+  ) s2ang_b
+)""".strip()
+    select = f"""SELECT {grid_hint}{carry_sql},
+  g_sun_az AS sun_az, g_sun_zen AS sun_zen,
+  g_sat_az AS sat_az, g_sat_zen AS sat_zen,
+  {dn(f"radians({_bilinear('h', 'view_az_deg', 'pfy', 'pfx')})")} AS sat_az_cdn,
+  {dn(f"radians({_bilinear('h', 'view_zen_deg', 'pfy', 'pfx')})")} AS sat_zen_cdn,
+  {dn(f"radians({_bilinear('h', 'sun_az_deg', 'pfy', 'pfx')})")} AS sun_az_cdn,
+  {dn(f"radians({_bilinear('h', 'sun_zen_deg', 'pfy', 'pfx')})")} AS sun_zen_cdn
+FROM s2ang_px
+JOIN s2grid h00 ON h00.grid_r = pi AND h00.grid_c = pj
+JOIN s2grid h01 ON h01.grid_r = pi AND h01.grid_c = pj + 1
+JOIN s2grid h10 ON h10.grid_r = pi + 1 AND h10.grid_c = pj
+JOIN s2grid h11 ON h11.grid_r = pi + 1 AND h11.grid_c = pj + 1""".strip()
+    return ctes, select
+
+
+def s2_grid_angles_sql(d: str, meta: Sen2TileMeta, px_src: str,
+                       carry: tuple[str, ...] = ("url", "cell_id", "r", "c"),
+                       cells_src: str | None = None,
+                       x_res: float | None = None,
+                       y_res: float | None = None) -> str:
+    """Standalone CTE-tail + SELECT form of :func:`s2_grid_angle_parts`
+    (embed as ``WITH {features...}, {this}``)."""
+    ctes, select = s2_grid_angle_parts(
+        d, meta, px_src, carry=carry, cells_src=cells_src,
+        x_res=x_res, y_res=y_res)
+    return f"{ctes}\n{select}"

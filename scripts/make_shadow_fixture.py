@@ -46,11 +46,14 @@ KERNEL_COLS = ("url, cell_id, r, c, sha256(text) AS text_sha256, nir, bt, "
 
 
 def pass3_duckdb(con: duckdb.DuckDBPyConnection,
-                 sensor: str = "LANDSAT8") -> pd.DataFrame:
+                 sensor: str = "LANDSAT8",
+                 tile_meta=None,
+                 extra_cols: str = "") -> pd.DataFrame:
     offs = oracle.S2_ZERO_OFFSETS if sensor == "SENTINEL2" else None
     ctes = oracle._ctes(DUCKDB, "pass3", angles=True, sensor=sensor,
-                        s2_offsets=offs)
-    return con.execute(f"{ctes} SELECT {KERNEL_COLS} FROM pass3").df()
+                        s2_offsets=offs, tile_meta=tile_meta)
+    return con.execute(
+        f"{ctes} SELECT {KERNEL_COLS}{extra_cols} FROM pass3").df()
 
 
 def main() -> None:
@@ -149,6 +152,46 @@ def main() -> None:
     s2 = pd.concat(s2_parts, ignore_index=True)
     s2.to_parquet(f"{OUT_DIR}/shadow_oracle_final_s2.parquet", index=False)
 
+    # Sentinel-2 no-thermal regime with the tile XML's ANGLE GRIDS
+    # wired in (S7 + sentinel2makeAnglesImage.py:95-123): the pass-3
+    # frame's per-cell sun/view scalars AND the per-pixel *_cdn DN
+    # stack come from bilinear lookups into the parsed fixture XML
+    # grids (sen2meta.s2_grid_angle_parts) instead of the synthetic
+    # swathe. Same independent/engine no-thermal cross-assert; the
+    # fixture carries the 4 per-pixel DN columns so the driver hash is
+    # provably sensitive to the XML grid values themselves.
+    from python_fmask_spark import sen2meta
+    tmeta = sen2meta.Sen2TileMeta.from_file(
+        "/root/repo/tests/fixtures/MTD_TL_fixture.xml")
+    p3grid = pass3_duckdb(con, sensor="SENTINEL2", tile_meta=tmeta,
+                          extra_cols=", sun_az_cdn, sun_zen_cdn")
+    grid_parts = []
+    for cell_id, pdf in p3grid.groupby("cell_id", sort=True):
+        pdf = pdf.reset_index(drop=True)
+        indep = classify_scene_independent(pdf, has_thermal=False)
+        engine = classify_scene(pdf, params, has_thermal=False)
+        pd.testing.assert_frame_equal(
+            indep.sort_values("url").reset_index(drop=True),
+            engine.sort_values("url").reset_index(drop=True),
+            check_dtype=True)
+        dn_cols = pdf[["url", "sat_az_cdn", "sat_zen_cdn",
+                       "sun_az_cdn", "sun_zen_cdn"]].astype(
+            {c: "int32" for c in ("sat_az_cdn", "sat_zen_cdn",
+                                  "sun_az_cdn", "sun_zen_cdn")})
+        grid_parts.append(indep.merge(dn_cols, on="url"))
+    s2grid = pd.concat(grid_parts, ignore_index=True)
+    # the grid angles must actually differ from the synthetic stack
+    # (otherwise this fixture proves nothing beyond the plain-S2 one)
+    syn = p3s2[["url", "sat_az_cdn"]].rename(
+        columns={"sat_az_cdn": "syn_cdn"})
+    n_diff = (s2grid.merge(syn, on="url")
+              .query("sat_az_cdn != syn_cdn").shape[0])
+    assert n_diff > 0, "grid angles identical to synthetic stack"
+    s2grid.to_parquet(f"{OUT_DIR}/shadow_oracle_final_s2_grid.parquet",
+                      index=False)
+    print(f"s2_grid: {len(s2grid)} rows, {n_diff} px with "
+          f"grid-vs-synthetic sat_az_cdn divergence")
+
     # Sentinel-2 no-thermal WITH the CDI displacement test composed
     # into pass 1 (setSen2displacementTest end-to-end): DuckDB renders
     # the composed chain (recursive-CTE CDI + redefined pass1,
@@ -178,7 +221,8 @@ def main() -> None:
                      index=False)
     print(f"wrote {len(final)} final rows, {len(shadow)} fill rows, "
           f"{len(l47)} l47 rows, {len(s2)} s2 rows, {len(s2cdi)} s2+cdi "
-          f"rows to {OUT_DIR} (from {SF_DIR})")
+          f"rows, {len(s2grid)} s2-grid rows to {OUT_DIR} "
+          f"(from {SF_DIR})")
 
 
 if __name__ == "__main__":
