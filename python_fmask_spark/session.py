@@ -71,6 +71,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Parquet pushdown is on by default; keep explicit for the record.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Prefer shuffled-hash over sort-merge for equi-joins: the
+        # classify join-back (slim kernel output x pass-1 identity on
+        # (cell_id, r, c)) otherwise sorts BOTH 41M-row sides; with the
+        # 16 MB advisory partitions the per-partition hash build is
+        # small and SHJ removes both sorts (measured below in
+        # BENCH/BASELINE.md; env-disable to fall back to SMJ).
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
