@@ -16,7 +16,7 @@ sys.path.insert(0, "/root/repo")
 from python_fmask_spark import oracle, pipeline  # noqa: E402
 from python_fmask_spark.dialect import DUCKDB, SPARK  # noqa: E402
 from python_fmask_spark.functions import angles, dedup, geo, inventory, multimodal, relational  # noqa: E402
-from python_fmask_spark.functions import similarity, text as textfn  # noqa: E402
+from python_fmask_spark.functions import sampling, similarity, text as textfn  # noqa: E402
 from python_fmask_spark.sources import register_views  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -80,6 +80,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     # exercised (31/240 may-contain, 0 true dups on unique-text corpus;
     # production sizes m to the reference-corpus cardinality)
     "dedup_bloom_prefilter": lambda d: dedup.q_bloom_prefilter(d, m=1024),
+    "dedup_paragraph": dedup.q_paragraph_dedup,
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
@@ -91,6 +92,9 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_tokens": textfn.q_token_counts,
     "text_fingerprint": textfn.q_fingerprint,
     "text_repetition": textfn.q_repetition,
+    "text_pii_scrub": textfn.q_pii_scrub,
+    # training-mix composition
+    "sample_domain_mix": sampling.q_domain_mix_sample,
     # multimodal binary plumbing
     "html_meta": multimodal.q_html_meta,
     # raster<->vector bridge
@@ -595,8 +599,6 @@ _BOARD_ORDER: tuple[str, ...] = (
     "s2_cdi_pcp",
     "multimodal_features",
     # pass-chain SQL + kernel morphology
-    "documents_wide",
-    "geocode_cells",
     "pass1_cell_counts",
     "pass1_thresholds",
     "pass2_probs",
@@ -614,6 +616,7 @@ _BOARD_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_url_canonical",
     "dedup_bloom_prefilter",
+    "dedup_paragraph",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
@@ -623,7 +626,8 @@ _BOARD_ORDER: tuple[str, ...] = (
     "text_tokens",
     "text_fingerprint",
     "text_repetition",
-    "html_meta",
+    "text_pii_scrub",
+    "sample_domain_mix",
     "geo_point_in_polygon",
     "geo_knn_tile_neighbor",
     # radiometric / inventory
@@ -634,6 +638,9 @@ _BOARD_ORDER: tuple[str, ...] = (
     "resample_coarse",
     # ---- position 51+: redundant-coverage tail (off the driver
     # record by design; re-drivable, green since round 2) ----
+    "documents_wide",
+    "geocode_cells",
+    "html_meta",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "value_index",

@@ -359,3 +359,82 @@ SELECT p.url,
 FROM probe p
 JOIN base c ON c.url = p.url
 LEFT JOIN ref_digests r ON r.dg = md5(c.text)""".strip()
+
+
+PARA_WORDS = 8  # words per paragraph segment
+
+
+def q_paragraph_dedup(d: str) -> str:
+    """Paragraph-grain deduplication — the CCNet / RefinedWeb stage that
+    removes boilerplate SHARED ACROSS documents (nav bars, footers,
+    license blurbs) which document-level dedup cannot see. The corpus
+    text is newline-free, so "paragraph" = consecutive {PARA_WORDS}-word
+    segment (deterministic segmentation; a production corpus would split
+    on blank lines first and fall back to this for wall-of-text pages).
+
+    Per paragraph hash, the keeper is the lexicographically-min url
+    (the same canonical-choice rule as q_exact_dedup); every other
+    occurrence is dropped. Output per document: paragraph counts,
+    kept ratio in basis points, and the md5 of the ORDER-PRESERVING
+    reassembly of its surviving paragraphs — proving the operator
+    really reconstructs deduped text, not just counts.
+
+    Scale shape (the pipeline stage this models runs on ~10^12 docs):
+      * segmentation is pure whole-stage-codegen string work
+        (split_part/concat_ws; no UDF, no array materialization of the
+        full document);
+      * one explode to paragraph rows (~n_words/{PARA_WORDS} rows/doc);
+      * keeper election is a map-side-combinable min() GROUP BY
+        paragraph hash — heavy boilerplate paragraphs (the Zipf head)
+        collapse to one row per partition before the exchange, so the
+        skewed key never concentrates rows;
+      * the mark join is an equi-join back on the hash (AQE skew-join
+        splits the boilerplate buckets if needed);
+      * reassembly groups by url — the second and last exchange.
+    """
+    w = PARA_WORDS
+    terms = ", ".join(
+        f"nullif(split_part(text, ' ', cast((p - 1) * {w} + {k} as int)), '')"
+        for k in range(1, w + 1))
+    n_words = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    # Order-preserving reassembly of the SURVIVING paragraphs only.
+    # collect_list / string_agg both skip NULLs, so the case-guard keeps
+    # dropped paragraphs out; the outer zero-kept guard is needed because
+    # Spark's empty concat_ws gives '' where DuckDB's string_agg gives
+    # NULL — both dialects must emit NULL for a fully-deduped document.
+    if d == SPARK:
+        reasm = ("md5(concat_ws(' ', transform(array_sort(collect_list("
+                 "case when kept = 1 then struct(para_idx, para) end)), "
+                 "s -> s.para)))")
+    else:
+        reasm = ("md5(string_agg(case when kept = 1 then para end, "
+                 "' ' ORDER BY para_idx))")
+    reasm = f"case when sum(kept) = 0 then NULL else {reasm} end"
+    return f"""
+WITH docs AS ({documents_wide_sql(d)}),
+paras AS (
+  SELECT url, p AS para_idx, concat_ws(' ', {terms}) AS para
+  FROM (
+    SELECT url, text,
+      {explode_series('1', f'cast(ceil({n_words} / {w}.0) as int)', 'p', d)}
+    FROM docs
+  )
+),
+keyed AS (
+  SELECT url, para_idx, para, md5(para) AS ph FROM paras
+),
+keepers AS (
+  SELECT ph, min(url) AS keeper_url FROM keyed GROUP BY ph
+),
+marked AS (
+  SELECT k.url, k.para_idx, k.para,
+    cast(case when k.url = f.keeper_url then 1 else 0 end as int) AS kept
+  FROM keyed k JOIN keepers f ON f.ph = k.ph
+)
+SELECT url,
+  cast(count(*) as bigint) AS n_paras,
+  cast(sum(kept) as bigint) AS n_kept,
+  cast(floor(sum(kept) * 10000.0 / count(*)) as bigint) AS kept_bp,
+  {reasm} AS dedup_md5
+FROM marked
+GROUP BY url""".strip()

@@ -9,7 +9,7 @@ engine differences in the correctness path.
 from __future__ import annotations
 
 from ..derive import documents_wide_sql
-from ..dialect import explode_series, md5_slice_int
+from ..dialect import SPARK, cast_str, explode_series, md5_slice_int
 
 # marker substring per language (simple stopword heuristic)
 _LANG_MARKERS = {
@@ -161,3 +161,66 @@ SELECT w.url, w.n_words, w.n_distinct_words,
   cast(floor(1000000.0 * b.top_bigram_n / b.n_bigrams) as bigint)
     AS top_bigram_micro
 FROM w_stats w LEFT JOIN bg_stats b ON b.url = w.url""".strip()
+
+
+def q_pii_scrub(d: str) -> str:
+    """PII redaction — scrub email addresses and phone numbers with
+    typed placeholder tokens, carrying per-type match counts so the
+    pipeline can audit scrub coverage (a standard pre-training
+    compliance stage).
+
+    The synthetic corpus contains no organic PII, so the query first
+    PLANTS it deterministically (an md5-derived email + dashed phone
+    appended per document — same construction in both dialects), then
+    scrubs and counts. The zero-residual columns re-scan the SCRUBBED
+    text with the same patterns and must come back 0 for every row —
+    the in-query proof that replacement caught everything the counter
+    saw, which is exactly the audit a production run ships.
+
+    Patterns avoid backslash classes ([0-9] not \\d) so the same
+    literal pattern string parses identically in Java regex (Spark) and
+    RE2 (DuckDB). Scale: pure whole-stage-codegen regexp work on the
+    scan, no exchange at all; per-type counts are map-side column
+    arithmetic, not a groupBy.
+    """
+    email_pat = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+    phone_pat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+    def _count(src: str, pat: str) -> str:
+        if d == SPARK:
+            return f"size(regexp_extract_all({src}, '{pat}', 0))"
+        return f"len(regexp_extract_all({src}, '{pat}', 0))"
+
+    def _scrub(src: str, pat: str, token: str) -> str:
+        if d == SPARK:
+            return f"regexp_replace({src}, '{pat}', '{token}')"
+        return f"regexp_replace({src}, '{pat}', '{token}', 'g')"
+
+    h = "substr(md5(concat('pii_', url)), 1, 6)"
+
+    def _num(start: int, modulus: int, width: int) -> str:
+        digits = cast_str(f"({md5_slice_int('url', start, 6, d)} % {modulus})", d)
+        return f"lpad({digits}, {width}, '0')"
+
+    planted = (f"concat(text, ' contact ', {h}, '@', split_part(url, '/', 3),"
+               f" ' or call ', {_num(1, 800, 3)}, '-', {_num(7, 1000, 3)},"
+               f" '-', {_num(13, 10000, 4)})")
+    scrub1 = _scrub("pii_text", email_pat, "<EMAIL>")
+    scrub2 = _scrub(scrub1, phone_pat, "<PHONE>")
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+planted AS (
+  SELECT url, {planted} AS pii_text FROM docs
+),
+scrubbed AS (
+  SELECT url, pii_text,
+    cast({_count('pii_text', email_pat)} as bigint) AS n_emails,
+    cast({_count('pii_text', phone_pat)} as bigint) AS n_phones,
+    {scrub2} AS clean_text
+  FROM planted
+)
+SELECT url, n_emails, n_phones,
+  cast({_count('clean_text', email_pat)} as bigint) AS residual_emails,
+  cast({_count('clean_text', phone_pat)} as bigint) AS residual_phones,
+  md5(clean_text) AS clean_md5
+FROM scrubbed""".strip()
