@@ -34,18 +34,27 @@ _B = [12345, 54321, 98765, 13579, 24680, 11111, 22222, 33333,
       44444, 55555, 66666, 77777, 88888, 99999, 10101, 20202]
 
 
-def _shingles_cte(d: str) -> str:
-    """One row per (url, pos) char-5-gram with its integer hash."""
+def _shingles_cte(d: str, distinct: bool = True) -> str:
+    """One row per (url, pos) char-5-gram with its integer hash.
+
+    ``distinct=True`` gives true shingle SETS — required wherever set
+    cardinality carries meaning (Jaccard numerators/denominators,
+    simhash sign-sums). The minhash path passes ``distinct=False``:
+    min over a multiset equals min over its set, so the expensive
+    corpus-sized DISTINCT exchange is provably redundant there — the
+    downstream min() GROUP BY is map-side combinable and its exchange
+    carries only H rows per document instead of ~|text| shingle rows."""
     gen = explode_series("1", f"greatest(length(text) - {SHINGLE_K - 1}, 1)",
                          "pos", d)
     h = md5_slice_int(f"substr(text, pos, {SHINGLE_K})", 1, 8, d)
+    kw = "DISTINCT " if distinct else ""
     return f"""
 docs AS ({documents_wide_sql(d, 'documents')}),
 positions AS (
   SELECT url, text, {gen} FROM docs
 ),
 shingles AS (
-  SELECT DISTINCT url, {h} AS sh FROM positions
+  SELECT {kw}url, {h} AS sh FROM positions
 )""".strip()
 
 
@@ -58,14 +67,18 @@ SELECT md5(text) AS text_md5, count(*) AS n_dups,
 FROM docs GROUP BY md5(text)"""
 
 
-def _minhash_cte(d: str) -> str:
+def _minhash_cte(d: str, distinct_shingles: bool = True) -> str:
+    """``distinct_shingles=False`` is only safe when the consumer reads
+    nothing but ``minhash``/``bands`` (min absorbs duplicates);
+    q_ngram_jaccard reads the ``shingles`` CTE for SET counts and must
+    keep the default."""
     hi_gen = explode_series("0", str(N_HASHES - 1), "hi", d)
     a_case = "case " + " ".join(
         f"when hi = {i} then {a}" for i, a in enumerate(_A)) + " end"
     b_case = "case " + " ".join(
         f"when hi = {i} then {b}" for i, b in enumerate(_B)) + " end"
     return f"""
-{_shingles_cte(d)},
+{_shingles_cte(d, distinct=distinct_shingles)},
 hashed AS (
   SELECT url, sh, {hi_gen} FROM shingles
 ),
@@ -82,9 +95,9 @@ bands AS (
 )""".strip()
 
 
-def _minhash_cte_spark() -> str:
+def _minhash_cte_spark(distinct_shingles: bool = True) -> str:
     # Spark: string_agg -> ordered concat via sort_array(collect_list).
-    base = _minhash_cte(SPARK)
+    base = _minhash_cte(SPARK, distinct_shingles=distinct_shingles)
     return base.replace(
         "md5(string_agg(cast(mh as varchar), ',' ORDER BY hi)) AS band_hash",
         "md5(concat_ws(',', transform(sort_array(collect_list("
@@ -92,8 +105,14 @@ def _minhash_cte_spark() -> str:
 
 
 def q_minhash_pairs(d: str) -> str:
-    """Candidate near-duplicate pairs: equal minhash signature in >=1 band."""
-    ctes = _minhash_cte_spark() if d == SPARK else _minhash_cte(d)
+    """Candidate near-duplicate pairs: equal minhash signature in >=1 band.
+
+    Runs with distinct_shingles=False: the corpus-sized DISTINCT
+    exchange is redundant under min-aggregation (min over a multiset ==
+    min over its set), so the only wide exchange left is the map-side-
+    combinable (url, hi) min — H rows per document on the wire."""
+    ctes = (_minhash_cte_spark(distinct_shingles=False) if d == SPARK
+            else _minhash_cte(d, distinct_shingles=False))
     return f"""
 WITH {ctes}
 SELECT DISTINCT a.url AS url_a, b.url AS url_b
@@ -102,8 +121,10 @@ FROM bands a JOIN bands b
 
 
 def q_minhash_signatures(d: str) -> str:
-    """Per-doc minhash signature summary (checksum of the 16 minhashes)."""
-    ctes = _minhash_cte_spark() if d == SPARK else _minhash_cte(d)
+    """Per-doc minhash signature summary (checksum of the 16 minhashes).
+    distinct_shingles=False — see q_minhash_pairs."""
+    ctes = (_minhash_cte_spark(distinct_shingles=False) if d == SPARK
+            else _minhash_cte(d, distinct_shingles=False))
     return f"""
 WITH {ctes}
 SELECT url, cast(sum(mh) as bigint) AS sig_sum, count(*) AS n_hashes

@@ -178,3 +178,20 @@ def test_classify_auto_external_p3_without_digests(spark, sf_small):
     assert len(out) == len(base)
     got = {r.url: r.fmask_class for r in out}
     assert got == base
+
+
+def test_distributed_l47_matches_scene_kernel(spark, sf_small):
+    """Sensor dispatch, third regime: LANDSAT47 (thermal, NO cirrus —
+    fmask/config.py:33-40, fmask/fmask.py:290-306) on the distributed
+    path must match pipeline.classify's L47 output bit-for-bit.
+    Completes the sensor x path matrix: {L8, S2, L47} x {whole-cell,
+    distributed} all pairwise-equal (L8/S2 pinned above; the whole-cell
+    L47 chain is pinned against its independent-replay fixture by the
+    fmask_final_class_l47 driver row)."""
+    register_views(spark, sf_small)
+    whole = _canon(pipeline.classify(spark, sensor="LANDSAT47"))
+    dist = _canon(classify_distributed(spark, sensor="LANDSAT47"))
+    assert whole.keys() == dist.keys()
+    diffs = {u: (whole[u], dist[u]) for u in whole if whole[u] != dist[u]}
+    assert not diffs, f"{len(diffs)} mismatching urls, e.g. " \
+        f"{list(diffs.items())[:3]}"
