@@ -218,6 +218,27 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "modality", "n_bytes", "feat_milli")
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS over the minhash-LSH pair graph: Spark
+    runs iterative min-label propagation (DataFrame loop, one shuffle
+    per round, bounded by component diameter); the DuckDB oracle runs
+    a recursive-CTE transitive closure — the hash match proves the
+    distributed connected-components == the declarative closure, plus
+    the canonical-per-cluster election (earliest warc_ts, min url)."""
+    from python_fmask_spark.functions.dedup import minhash_clusters
+    register_views(spark, sf_dir)
+    return minhash_clusters(spark)
+
+
+def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation decision (exact dedup x near-dup cluster x
+    quality x language) with per-stage provenance flags; oracle is the
+    identical composition in one DuckDB statement."""
+    from python_fmask_spark.functions.curation import corpus_curate
+    register_views(spark, sf_dir)
+    return corpus_curate(spark)
+
+
 def _fmask_final_class_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clump-parallel distributed classify (operators/scene_dist.py):
     every stage's task grain is bounded regardless of cell size. Checked
@@ -596,7 +617,6 @@ _BOARD_ORDER: tuple[str, ...] = (
     "stream_dedup_first",
     "potential_shadow_dist",
     "cloud_objects",
-    "s2_cdi_pcp",
     "multimodal_features",
     # pass-chain SQL + kernel morphology
     "pass1_cell_counts",
@@ -604,19 +624,18 @@ _BOARD_ORDER: tuple[str, ...] = (
     "pass2_probs",
     "cloud_interim",
     "fmask_interim_class",
-    "pass1_cell_counts_l47",
-    "fmask_interim_class_s2",
     "fmask_interim_class_s2_offset",
     "fmask_interim_class_s2_cdi",
     "sat_angles_grid",
     # LLM-data-pipeline operators
     "dedup_exact",
-    "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_url_canonical",
     "dedup_bloom_prefilter",
     "dedup_paragraph",
+    "dedup_clusters",
+    "corpus_curate",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
@@ -637,7 +656,17 @@ _BOARD_ORDER: tuple[str, ...] = (
     "zero_band_check",
     "resample_coarse",
     # ---- position 51+: redundant-coverage tail (off the driver
-    # record by design; re-drivable, green since round 2) ----
+    # record by design; re-drivable, green since round 2; the four
+    # rows moved here in round 5 are strict subsets of in-record
+    # evidence: interim_s2 of the _s2_offset row + the S2 full-chain
+    # fixtures, pass1_l47 of the fmask_final_class_l47 fixture,
+    # minhash_pairs of dedup_clusters (whose oracle rebuilds the same
+    # candidate-pair CTE), s2_cdi_pcp of the two CDI rows that expose
+    # pcp_i directly) ----
+    "fmask_interim_class_s2",
+    "pass1_cell_counts_l47",
+    "dedup_minhash_pairs",
+    "s2_cdi_pcp",
     "documents_wide",
     "geocode_cells",
     "html_meta",
@@ -667,6 +696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle's single-CTE SQL; far less Catalyst planning time)
     out["pass1_thresholds"] = _pass1_thresholds_fast
     out["pass2_probs"] = _pass2_probs_fast
+    # DataFrame-loop / composite operators with full SQL oracles
+    out["dedup_clusters"] = _dedup_clusters
+    out["corpus_curate"] = _corpus_curate
     # kernel-path operators (no SQL oracle -> rows-only driver check)
     out["fmask_final_class"] = _fmask_final_class
     out["s2_cdi_pcp"] = _s2_cdi
@@ -700,6 +732,9 @@ def oracle_sql() -> dict[str, str]:
     out = {name: builder(DUCKDB) for name, builder in _SQL_QUERIES.items()}
     # kernel/UDF-path queries whose oracle is an independent SQL rendering
     out["multimodal_features"] = multimodal.q_features_oracle(DUCKDB)
+    out["dedup_clusters"] = dedup.q_dedup_clusters_oracle()
+    from python_fmask_spark.functions import curation
+    out["corpus_curate"] = curation.q_corpus_curate_oracle()
     out["s2_cdi_pcp"] = oracle.q_s2_cdi(
         DUCKDB, s2_offsets=oracle.S2_ZERO_OFFSETS)
     # Shadow-chain oracles: frozen parquet fixtures computed by an

@@ -18,7 +18,7 @@ identically in Spark SQL and DuckDB (dialect.py).
 from __future__ import annotations
 
 from ..derive import documents_wide_sql
-from ..dialect import SPARK, explode_series, idiv, md5_slice_int
+from ..dialect import DUCKDB, SPARK, explode_series, idiv, md5_slice_int
 
 SHINGLE_K = 5
 N_HASHES = 16
@@ -459,3 +459,134 @@ SELECT url,
   {reasm} AS dedup_md5
 FROM marked
 GROUP BY url""".strip()
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate CLUSTERS: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+
+CLUSTER_MAX_ITERS = 20  # >= max component diameter; LSH near-dup
+#                         clusters are near-cliques (diameter 2-3)
+
+
+def minhash_clusters(spark):
+    """Near-duplicate cluster assignment: connected components over the
+    banded-LSH candidate-pair graph, with one canonical document per
+    cluster (earliest ``warc_ts``, then min url — the keep-the-first
+    crawl rule) and the cluster size. This is the stage a training-data
+    pipeline runs AFTER pair generation: pairs alone over-count (A~B
+    and B~C must collapse to ONE keeper, not two independent drops).
+
+    Implementation is iterative min-label propagation on DataFrames:
+    every vertex starts labelled with its own url; each round takes the
+    min label over its neighbours; fixpoint = component-min label.
+    Each round is ONE shuffle (edges equi-join labels on dst + a
+    map-side-combinable min GROUP BY src), lineage is truncated per
+    round with localCheckpoint, and the round count is bounded by the
+    component diameter — for LSH near-dup graphs the clusters are
+    near-cliques (diameter 2-3), so this converges in a handful of
+    rounds even at 10^12 docs. (For general graphs with long paths the
+    published alternating large-star/small-star rewrite [Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14]
+    converges in O(log^2 n) rounds; the dup-graph shape does not need
+    it.) The DuckDB oracle computes the same components by recursive
+    transitive closure — a third, independent semantics check lives in
+    tests (plain Python union-find over the pair list).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pairs = spark.sql(q_minhash_pairs(SPARK))
+    docs = spark.sql(
+        f"WITH docs AS ({documents_wide_sql(SPARK, 'documents')}) "
+        "SELECT url, warc_ts FROM docs").localCheckpoint()
+    edges = (pairs.selectExpr("url_a AS src", "url_b AS dst")
+             .unionAll(pairs.selectExpr("url_b AS src", "url_a AS dst"))
+             .localCheckpoint())
+    labels = docs.selectExpr("url", "url AS lbl").localCheckpoint()
+    for _ in range(CLUSTER_MAX_ITERS):
+        neigh = (edges.join(labels, edges["dst"] == labels["url"])
+                 .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+        new = (labels.join(neigh, labels["url"] == neigh["src"], "left")
+               .select(labels["url"],
+                       F.least(F.col("lbl"),
+                               F.coalesce(F.col("nlbl"), F.col("lbl")))
+                       .alias("lbl"))
+               .localCheckpoint())
+        changed = (new.selectExpr("url", "lbl AS new_lbl")
+                   .join(labels, "url")
+                   .where("new_lbl <> lbl").limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {CLUSTER_MAX_ITERS} "
+            "rounds (component diameter exceeds the bound)")
+    sized = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    w = Window.partitionBy("lbl").orderBy("warc_ts", "url")
+    canon = (labels.join(docs, "url")
+             .withColumn("rn", F.row_number().over(w))
+             .where("rn = 1").selectExpr("lbl", "url AS canonical_url"))
+    return (labels.join(sized, "lbl").join(canon, "lbl")
+            .selectExpr(
+                "url", "lbl AS cluster_id", "canonical_url",
+                "cast(cluster_size as bigint) AS cluster_size",
+                "cast(case when url = canonical_url then 0 else 1 end"
+                " as int) AS is_dup"))
+
+
+def clusters_cte_chain_duckdb() -> str:
+    """DuckDB-only CTE chain computing the same clusters by recursive
+    transitive closure (DuckDB's UNION-dedup recursion terminates on
+    cyclic graphs; Spark SQL has no equivalent, hence the DataFrame
+    loop above). Assumes the minhash CTEs (``docs`` .. ``bands``) are
+    already in scope; exposes ``clu_final(url, cluster_id,
+    canonical_url, cluster_size, is_dup)``. The caller must open the
+    statement with WITH RECURSIVE."""
+    return f"""cand AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.url < b.url
+),
+cedges AS (
+  SELECT url_a AS src, url_b AS dst FROM cand
+  UNION ALL SELECT url_b, url_a FROM cand
+),
+reach(url, r) AS (
+  SELECT url, url FROM docs
+  UNION
+  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.url = e.dst
+),
+clusters AS (SELECT url, min(r) AS cluster_id FROM reach GROUP BY url),
+csized AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM clusters
+  GROUP BY cluster_id
+),
+cranked AS (
+  SELECT c.cluster_id, c.url,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY d.warc_ts, c.url) AS rn
+  FROM clusters c JOIN docs d ON d.url = c.url
+),
+ccanon AS (SELECT cluster_id, url AS canonical_url FROM cranked
+           WHERE rn = 1),
+clu_final AS (
+  SELECT c.url, c.cluster_id, n.canonical_url,
+    cast(s.cluster_size as bigint) AS cluster_size,
+    cast(case when c.url = n.canonical_url then 0 else 1 end as int)
+      AS is_dup
+  FROM clusters c
+  JOIN csized s ON s.cluster_id = c.cluster_id
+  JOIN ccanon n ON n.cluster_id = c.cluster_id
+)""".strip()
+
+
+def q_dedup_clusters_oracle() -> str:
+    """DuckDB oracle for minhash_clusters (see clusters_cte_chain_duckdb)."""
+    ctes = _minhash_cte(DUCKDB, distinct_shingles=False)
+    return f"""
+WITH RECURSIVE {ctes},
+{clusters_cte_chain_duckdb()}
+SELECT url, cluster_id, canonical_url, cluster_size, is_dup
+FROM clu_final""".strip()

@@ -47,9 +47,12 @@ SELECT url, lang AS lang_label, {guess} AS lang_guess,
 FROM best"""
 
 
-def q_quality_score(d: str) -> str:
-    """Quality heuristics: length, word count, mean word length,
-    stopword ratio, digit ratio -> milli-score."""
+def quality_ctes(d: str) -> str:
+    """CTE-chain fragment over an in-scope ``docs`` relation
+    (url, text): defines ``qfeats`` and ``quality`` (url, n_chars,
+    n_words, *_milli, quality_milli). Factored out so composite
+    pipelines (functions/curation.py) can reuse the exact scoring
+    expressions in the same statement without re-deriving docs."""
     n_words = "(cast((length(text) - length(replace(text, ' ', ''))) as bigint) + 1)"
     # digit count via chained replaces 0-9
     inner = "text"
@@ -57,23 +60,34 @@ def q_quality_score(d: str) -> str:
         inner = f"replace({inner}, '{ch}', '')"
     n_digits = f"(length(text) - length({inner}))"
     n_the = _count_occurrences("text", " the ")
-    return f"""
-WITH docs AS ({documents_wide_sql(d, 'documents')}),
-feats AS (
+    return f"""qfeats AS (
   SELECT url, length(text) AS n_chars, {n_words} AS n_words,
     {n_digits} AS n_digits,
     cast({n_the} as bigint) AS n_stop
   FROM docs
-)
-SELECT url, n_chars, n_words,
-  cast(round(1000.0 * (n_chars - n_words + 1) / n_words) as bigint)
-    AS mean_word_len_milli,
-  cast(round(1000.0 * n_stop / n_words) as bigint) AS stopword_milli,
-  cast(round(1000.0 * n_digits / n_chars) as bigint) AS digit_milli,
-  cast(round(least(1000.0,
-      200.0 * ln(1 + n_chars) + 2000.0 * n_stop / n_words
-      - 3000.0 * n_digits / n_chars)) as bigint) AS quality_milli
-FROM feats"""
+),
+quality AS (
+  SELECT url, n_chars, n_words,
+    cast(round(1000.0 * (n_chars - n_words + 1) / n_words) as bigint)
+      AS mean_word_len_milli,
+    cast(round(1000.0 * n_stop / n_words) as bigint) AS stopword_milli,
+    cast(round(1000.0 * n_digits / n_chars) as bigint) AS digit_milli,
+    cast(round(least(1000.0,
+        200.0 * ln(1 + n_chars) + 2000.0 * n_stop / n_words
+        - 3000.0 * n_digits / n_chars)) as bigint) AS quality_milli
+  FROM qfeats
+)""".strip()
+
+
+def q_quality_score(d: str) -> str:
+    """Quality heuristics: length, word count, mean word length,
+    stopword ratio, digit ratio -> milli-score."""
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+{quality_ctes(d)}
+SELECT url, n_chars, n_words, mean_word_len_milli, stopword_milli,
+  digit_milli, quality_milli
+FROM quality"""
 
 
 def q_token_counts(d: str) -> str:

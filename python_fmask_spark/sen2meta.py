@@ -358,7 +358,7 @@ def s2_grid_angle_parts(d: str, meta: Sen2TileMeta, px_src: str,
       * per-cell sun/view radians (sun_az..sat_zen) interpolate AT the
         anchor (the whole-cell kernel consumes them as per-cell
         constants, config.AnglesByPoint-style);
-      * per-pixel DN columns (\*_cdn) interpolate at pixel centres and
+      * per-pixel DN columns (``*_cdn``) interpolate at pixel centres and
         quantize to round(radians * 100) — the reference's int16 DN
         form (sentinel2makeAnglesImage.py:110-117), which the per-clump
         mean-angle lookup consumes.

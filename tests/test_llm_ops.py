@@ -118,3 +118,94 @@ def test_domain_mix_sampler_rates_converge():
         tol = 3 * (rate_bp / 10000 * (1 - rate_bp / 10000) / n) ** 0.5 + 1e-9
         assert abs(frac - rate_bp / 10000) <= max(tol, 0.06), (
             tier, rate_bp, n, k)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters + composed curation (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_clusters(urls, pairs):
+    """Third, independent CC implementation (plain Python union-find) —
+    neither the Spark label-propagation loop nor the DuckDB recursive
+    closure."""
+    parent = {u: u for u in urls}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for u in urls:
+        comp.setdefault(find(u), []).append(u)
+    return {u: min(members) for members in comp.values() for u in members}
+
+
+def test_minhash_clusters_match_union_find(spark, sf_oracle):
+    """The Spark label-propagation components == a plain union-find
+    over the same candidate pairs (the oracle-parity test separately
+    pins them against DuckDB's recursive closure — three independent
+    implementations agreeing)."""
+    import duckdb as _duckdb
+
+    from python_fmask_spark.sources import register_views
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_oracle}/documents.parquet')")
+    pairs = con.execute(dedup.q_minhash_pairs(DUCKDB)).fetchall()
+    urls = [r[0] for r in con.execute(
+        f"SELECT url FROM ({dedup.q_url_canonical(DUCKDB)}) t").fetchall()]
+    expected = _union_find_clusters(urls, pairs)
+
+    register_views(spark, sf_oracle)
+    got = {r["url"]: r["cluster_id"]
+           for r in dedup.minhash_clusters(spark).collect()}
+    assert got == expected
+    # every multi-doc cluster's canonical is its earliest (warc_ts, url)
+    rows = dedup.minhash_clusters(spark).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    n_multi = 0
+    for members in by_cluster.values():
+        canon = {m["canonical_url"] for m in members}
+        assert len(canon) == 1
+        assert sum(1 for m in members if m["is_dup"] == 0) == 1
+        if len(members) > 1:
+            n_multi += 1
+    assert n_multi > 0  # the fixture must actually exercise clusters
+
+
+def test_corpus_curate_flags_tiny_corpus(spark):
+    """Semantics on a controlled corpus: exact dup dropped by warc_ts
+    order, quality floor and language allowlist enforced, keep = AND."""
+    from python_fmask_spark.functions import curation
+    text_good = ("the quick brown fox jumps over the lazy dog and then "
+                 "the dog naps in the warm sun near the old barn") * 3
+    docs_sql = f"""
+SELECT * FROM (VALUES
+  (0, '{text_good}', 'en', 'srcA'),
+  (1, '{text_good}', 'en', 'srcB'),
+  (2, '1234567890 98765 43210 111 222 333 444 555', 'en', 'srcA'),
+  (3, '{text_good}x', 'de', 'srcA')
+) AS t(doc_id, text, lang, source)
+"""
+    spark.sql(docs_sql).createOrReplaceTempView("documents")
+    rows = {r["url"]: r for r in curation.corpus_curate(spark).collect()}
+    a0 = rows["https://srcA.example/p/0"]   # earliest dup copy
+    b1 = rows["https://srcB.example/p/1"]   # later exact dup
+    a2 = rows["https://srcA.example/p/2"]   # digit soup -> low quality
+    a3 = rows["https://srcA.example/p/3"]   # near-dup of 0/1, wrong lang
+    assert a0["exact_ok"] == 1 and a0["keep"] == 1
+    assert b1["exact_ok"] == 0 and b1["keep"] == 0
+    # doc 3 differs by one char: same near-dup cluster, 0 is canonical
+    assert a3["neardup_ok"] == 0 or b1["neardup_ok"] == 0
+    assert a3["lang_ok"] == 0 and a3["keep"] == 0
+    assert a2["quality_ok"] == 0 and a2["keep"] == 0
