@@ -67,41 +67,52 @@ SELECT md5(text) AS text_md5, count(*) AS n_dups,
 FROM docs GROUP BY md5(text)"""
 
 
+def _mh_expr(i: int) -> str:
+    """The i-th affine minhash as ONE aggregate expression: all H
+    minhashes are computed in a single GROUP BY url pass over the
+    shingle rows — no x{N_HASHES} hash-index explode, no (url, hi)
+    exchange. vs the exploded form this cuts the pre-aggregation row
+    volume {N_HASHES}x on the heaviest stage of the dedup family (the
+    per-partition partial min still combines map-side, so the exchange
+    carries one row per document either way — but the explode paid
+    {N_HASHES}x the scan/codegen work to get there)."""
+    return f"min(({_A[i]} * sh + {_B[i]}) % {MERSENNE_P}) AS mh{i}"
+
+
+def _band_hash_expr(band: int, d: str) -> str:
+    """md5 of the band's {N_HASHES // N_BANDS} minhashes joined by ','
+    in hash order — byte-identical to the previous string_agg
+    rendering, so signatures/pairs/cluster hashes are unchanged."""
+    r = N_HASHES // N_BANDS
+    cast_t = "string" if d == SPARK else "varchar"
+    parts = ", ".join(f"cast(mh{band * r + k} as {cast_t})"
+                      for k in range(r))
+    return f"md5(concat_ws(',', {parts}))"
+
+
 def _minhash_cte(d: str, distinct_shingles: bool = True) -> str:
     """``distinct_shingles=False`` is only safe when the consumer reads
-    nothing but ``minhash``/``bands`` (min absorbs duplicates);
+    nothing but ``minhash_wide``/``bands`` (min absorbs duplicates);
     q_ngram_jaccard reads the ``shingles`` CTE for SET counts and must
     keep the default."""
-    hi_gen = explode_series("0", str(N_HASHES - 1), "hi", d)
-    a_case = "case " + " ".join(
-        f"when hi = {i} then {a}" for i, a in enumerate(_A)) + " end"
-    b_case = "case " + " ".join(
-        f"when hi = {i} then {b}" for i, b in enumerate(_B)) + " end"
+    mh_exprs = ",\n    ".join(_mh_expr(i) for i in range(N_HASHES))
+    band_case = "case band " + " ".join(
+        f"when {b} then {_band_hash_expr(b, d)}"
+        for b in range(N_BANDS)) + " end"
     return f"""
 {_shingles_cte(d, distinct=distinct_shingles)},
-hashed AS (
-  SELECT url, sh, {hi_gen} FROM shingles
-),
-minhash AS (
-  SELECT url, hi,
-    min((({a_case}) * sh + ({b_case})) % {MERSENNE_P}) AS mh
-  FROM hashed GROUP BY url, hi
+minhash_wide AS (
+  SELECT url,
+    {mh_exprs}
+  FROM shingles GROUP BY url
 ),
 bands AS (
-  SELECT url, {idiv('hi', str(N_HASHES // N_BANDS), d)} AS band,
-    md5(string_agg(cast(mh as varchar), ',' ORDER BY hi)) AS band_hash
-  FROM minhash
-  GROUP BY url, {idiv('hi', str(N_HASHES // N_BANDS), d)}
+  SELECT url, band, {band_case} AS band_hash
+  FROM (
+    SELECT *, {explode_series('0', str(N_BANDS - 1), 'band', d)}
+    FROM minhash_wide
+  )
 )""".strip()
-
-
-def _minhash_cte_spark(distinct_shingles: bool = True) -> str:
-    # Spark: string_agg -> ordered concat via sort_array(collect_list).
-    base = _minhash_cte(SPARK, distinct_shingles=distinct_shingles)
-    return base.replace(
-        "md5(string_agg(cast(mh as varchar), ',' ORDER BY hi)) AS band_hash",
-        "md5(concat_ws(',', transform(sort_array(collect_list("
-        "struct(hi, mh))), s -> cast(s.mh as string)))) AS band_hash")
 
 
 def q_minhash_pairs(d: str) -> str:
@@ -110,9 +121,9 @@ def q_minhash_pairs(d: str) -> str:
     Runs with distinct_shingles=False: the corpus-sized DISTINCT
     exchange is redundant under min-aggregation (min over a multiset ==
     min over its set), so the only wide exchange left is the map-side-
-    combinable (url, hi) min — H rows per document on the wire."""
-    ctes = (_minhash_cte_spark(distinct_shingles=False) if d == SPARK
-            else _minhash_cte(d, distinct_shingles=False))
+    combinable per-url min — ONE row per document on the wire, all
+    {N_HASHES} minhashes as parallel aggregate columns."""
+    ctes = _minhash_cte(d, distinct_shingles=False)
     return f"""
 WITH {ctes}
 SELECT DISTINCT a.url AS url_a, b.url AS url_b
@@ -123,12 +134,13 @@ FROM bands a JOIN bands b
 def q_minhash_signatures(d: str) -> str:
     """Per-doc minhash signature summary (checksum of the 16 minhashes).
     distinct_shingles=False — see q_minhash_pairs."""
-    ctes = (_minhash_cte_spark(distinct_shingles=False) if d == SPARK
-            else _minhash_cte(d, distinct_shingles=False))
+    ctes = _minhash_cte(d, distinct_shingles=False)
+    sig = " + ".join(f"mh{i}" for i in range(N_HASHES))
     return f"""
 WITH {ctes}
-SELECT url, cast(sum(mh) as bigint) AS sig_sum, count(*) AS n_hashes
-FROM minhash GROUP BY url"""
+SELECT url, cast({sig} as bigint) AS sig_sum,
+  cast({N_HASHES} as bigint) AS n_hashes
+FROM minhash_wide"""
 
 
 SIMHASH_BITS = 64
@@ -238,7 +250,7 @@ def q_ngram_jaccard_pairs(d: str, threshold: float = 0.6,
     banded minhash equi-join (linear in docs + candidates); the exact
     intersection is then computed per candidate pair only, by joining
     each side's shingle set through the candidate list."""
-    ctes = _minhash_cte_spark() if d == SPARK else _minhash_cte(d)
+    ctes = _minhash_cte(d)
     if exact:
         cand = """
 cand_pairs AS (
