@@ -311,6 +311,16 @@ _ANGLE_COLS = ("sun_az", "sun_zen", "sat_az", "sat_zen",
                "sat_az_cdn", "sat_zen_cdn", "sun_az_cdn", "sun_zen_cdn")
 
 
+def _angle_lit(x: float) -> str:
+    # NaN grid points (detector-strip gaps at swath corners, or a tile
+    # XML with no view grids at all) become typed NULLs: NULL
+    # propagates through the bilinear arithmetic to NULL angles/DNs in
+    # BOTH dialects, where a bare `nan` token is a parse error and a
+    # real NaN casts to int differently in Spark (NULL) vs DuckDB
+    # (error).
+    return ("cast(NULL as double)" if np.isnan(x) else repr(float(x)))
+
+
 def _grid_values_cte(meta: Sen2TileMeta, d: str) -> str:
     """s2grid CTE: the parsed XML grids inlined as a VALUES table —
     the oracle rendering therefore provably carries the fixture XML's
@@ -319,8 +329,8 @@ def _grid_values_cte(meta: Sen2TileMeta, d: str) -> str:
     vz, va = _mean_view_grids(meta)
     h, w = sz.shape
     rows = ", ".join(
-        f"({i}, {j}, {float(sz[i, j])!r}, {float(sa[i, j])!r}, "
-        f"{float(vz[i, j])!r}, {float(va[i, j])!r})"
+        f"({i}, {j}, {_angle_lit(sz[i, j])}, {_angle_lit(sa[i, j])}, "
+        f"{_angle_lit(vz[i, j])}, {_angle_lit(va[i, j])})"
         for i in range(h) for j in range(w))
     cols = "grid_r, grid_c, sun_zen_deg, sun_az_deg, view_zen_deg, view_az_deg"
     if d == "spark":
@@ -419,8 +429,10 @@ s2ang_px AS (
     gy - floor(gy) AS pfy, gx - floor(gx) AS pfx
   FROM (
     SELECT {dim_hint}b.*, d.g_sun_az, d.g_sun_zen, d.g_sat_az, d.g_sat_zen,
-      least(d.cgy + ((b.r + 0.5) * {yres} / {gres}), {gh1} - 1e-9) AS gy,
-      least(d.cgx + ((b.c + 0.5) * {xres} / {gres}), {gw1} - 1e-9) AS gx
+      greatest(0.0, least(d.cgy + ((b.r + 0.5) * {yres} / {gres}),
+                          {gh1} - 1e-9)) AS gy,
+      greatest(0.0, least(d.cgx + ((b.c + 0.5) * {xres} / {gres}),
+                          {gw1} - 1e-9)) AS gx
     FROM {px_src} b JOIN s2ang_cdim d ON d.cell_id = b.cell_id
   ) s2ang_b
 )""".strip()

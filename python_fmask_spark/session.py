@@ -77,8 +77,12 @@ def get_spark(
         # 16 MB advisory partitions the per-partition hash build is
         # small and SHJ removes both sorts (measured below in
         # BENCH/BASELINE.md; env-disable to fall back to SMJ).
+        # normalized: any truthy spelling (1/yes/true) flips it — the
+        # raw value would crash getOrCreate on Spark's strict boolean
+        # conf parse
         .config("spark.sql.join.preferSortMergeJoin",
-                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+                str(os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false")
+                    .strip().lower() in ("1", "true", "yes")).lower())
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

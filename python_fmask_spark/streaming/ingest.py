@@ -83,7 +83,17 @@ def stream_dedup_first(spark: SparkSession, input_dir: str,
     retained first occurrence is re-admitted as a fresh first sighting,
     and state whose deadline the event-time watermark has passed is
     physically evicted (EventTimeTimeout; requires the ``watermark``
-    delay). Event-time ageing is chosen over a wall-clock
+    delay). The re-admission decision scans the batch PER EPOCH (see
+    ``first_seen``), so the emitted rows are the same however the
+    occurrences are sliced into micro-batches. NOTE the contract
+    narrowing in TTL mode: ``withWatermark`` drops rows older than the
+    observed max event time minus the ``watermark`` delay BEFORE they
+    reach the operator, so the "earlier occurrence replaces the held
+    one" rule only applies to occurrences at most that delay
+    out-of-order — the default '0 seconds' admits only in-order event
+    times; pass a delay matching the crawl's disorder if earlier
+    replacements must survive TTL mode. Event-time ageing is chosen
+    over a wall-clock
     ProcessingTimeTimeout deliberately: it is deterministic under
     replay, and Spark's available-now trigger never terminates with a
     processing-time timeout (shouldRunAnotherBatch is unconditionally
@@ -121,23 +131,35 @@ def stream_dedup_first(spark: SparkSession, input_dir: str,
             return
         best_url, best_ts = (state.get if state.exists else (None, None))
         frames = [pdf[["warc_ts", "url"]] for pdf in pdfs if len(pdf)]
-        emit = False
+        emits: list[tuple] = []
         if frames:
-            batch = frames[0] if len(frames) == 1 else pd.concat(frames)
-            cand = batch.sort_values(["warc_ts", "url"]).iloc[0]
-            if (state_ttl_sec is not None and best_ts is not None
-                    and cand.warc_ts - best_ts
-                    > pd.Timedelta(seconds=state_ttl_sec)):
-                # expired in event time relative to the retained first
-                # occurrence — even if the watermark hasn't evicted the
-                # state yet (it lags one batch), re-admit now so the
-                # decision is deterministic under replay
-                best_url, best_ts = None, None
+            batch = (frames[0] if len(frames) == 1 else pd.concat(frames))
+            batch = batch.sort_values(["warc_ts", "url"])
+            cand = batch.iloc[0]
             if (best_ts is None or cand.warc_ts < best_ts
                     or (cand.warc_ts == best_ts and cand.url < best_url)):
                 best_url, best_ts = cand.url, cand.warc_ts
-                emit = True
-        if emit:
+                emits.append((best_url, best_ts))
+            if state_ttl_sec is not None:
+                # EPOCH scan, not batch-min-only: every occurrence more
+                # than the TTL after the retained first occurrence
+                # starts a new epoch and is emitted, however the
+                # occurrences were sliced into micro-batches (a
+                # min-only check silently swallowed a beyond-TTL
+                # occurrence whenever an in-TTL one landed in the same
+                # batch). searchsorted per EPOCH (0 or 1 in practice),
+                # vectorized within — no per-row Python.
+                delta = pd.Timedelta(seconds=state_ttl_sec)
+                ts = batch["warc_ts"]
+                while True:
+                    pos = int(ts.searchsorted(best_ts + delta,
+                                              side="right"))
+                    if pos >= len(batch):
+                        break
+                    row = batch.iloc[pos]
+                    best_url, best_ts = row.url, row.warc_ts
+                    emits.append((best_url, best_ts))
+        if emits:
             state.update((best_url, best_ts))
         if state_ttl_sec is not None and state.exists:
             deadline = (int(best_ts.timestamp() * 1000)
@@ -147,9 +169,10 @@ def stream_dedup_first(spark: SparkSession, input_dir: str,
             # never the re-admission decision above)
             state.setTimeoutTimestamp(
                 max(deadline, state.getCurrentWatermarkMs() + 1))
-        if emit:
-            yield pd.DataFrame({"digest": [key[0]], "url": [best_url],
-                                "warc_ts": [best_ts]})
+        if emits:
+            yield pd.DataFrame({"digest": [key[0]] * len(emits),
+                                "url": [u for u, _ in emits],
+                                "warc_ts": [t for _, t in emits]})
 
     timeout = (GroupStateTimeout.EventTimeTimeout
                if state_ttl_sec is not None else GroupStateTimeout.NoTimeout)

@@ -113,6 +113,39 @@ def test_stream_dedup_ttl_inside_window_still_suppresses(spark, sf_small):
     assert all(r.n == 1 for r in rows)
 
 
+def test_stream_dedup_ttl_epoch_scan_is_batch_slicing_independent(
+        spark, sf_small):
+    """An in-TTL duplicate landing in the SAME micro-batch as a
+    beyond-TTL occurrence must not swallow the re-admission: the epoch
+    scan evaluates every occurrence against the retained first
+    occurrence, so the emitted rows match the separate-batches case
+    (code-review r5 finding: the old batch-min-only check made output
+    depend on trigger slicing)."""
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        src = pd.read_parquet(f"{sf_small}/documents.parquet").head(10)
+        dup_in = src.copy()
+        dup_in["doc_id"] = dup_in["doc_id"] + 600       # inside ttl
+        dup_out = src.copy()
+        dup_out["doc_id"] = dup_out["doc_id"] + 1_000_000  # beyond ttl
+        # batch 1 = originals; batch 2 = BOTH duplicates together
+        _write_batches(d, src, [src, pd.concat([dup_in, dup_out])])
+        out = ingest.stream_dedup_first(spark, d, max_files_per_trigger=1,
+                                        state_ttl_sec=3600)
+        ingest.run_available_now(out, "t_dedup_ttl3", output_mode="update")
+        rows = spark.sql(
+            "SELECT digest, count(*) AS n, max(warc_ts) AS last_ts, "
+            "min(warc_ts) AS first_ts FROM t_dedup_ttl3 "
+            "GROUP BY digest").collect()
+    assert len(rows) == 10
+    # original emit + the beyond-TTL epoch emit; the in-TTL duplicate
+    # stays suppressed even though it shared the batch
+    assert all(r.n == 2 for r in rows), [(r.digest, r.n) for r in rows]
+    assert all((r.last_ts - r.first_ts).total_seconds() == 1_000_000
+               for r in rows)
+
+
 def test_no_per_row_python_in_package():
     """The input-hint contract is vectorized pandas/Arrow UDFs
     throughout — no itertuples/iterrows row loops anywhere in the
