@@ -41,6 +41,33 @@ def _s2_tile_meta():
     return sen2meta.Sen2TileMeta.from_file(
         "/root/repo/tests/fixtures/MTD_TL_fixture.xml")
 
+def _mtl_thermal_calib_sql(d: str) -> str:
+    """S5/S6 on the driver board. The SPARK rendering's calibration
+    constants come from mtl.read_mtl_file + thermal_info_from_mtl over
+    the three fixture MTL files (modern L7, oldest-format L7 with the
+    BAND61 keys, oldest-format L5) — the parser runs end-to-end. The
+    DUCKDB oracle's constants are an INDEPENDENT hand transcription of
+    fmask/config.py:551-610 over the raw fixture numbers, so the hash
+    match proves the parse + gain/offset derivation + K-constant
+    fallback, not just a shared code path."""
+    from python_fmask_spark import mtl
+    if d == SPARK:
+        infos = {}
+        for name in ("modern_l7", "oldest_l7", "oldest_l5"):
+            t = mtl.thermal_info_from_mtl(
+                mtl.read_mtl_file(f"/root/repo/tests/fixtures/MTL_{name}.txt"))
+            infos[name] = (t.gain, t.offset, t.k1, t.k2)
+    else:
+        g7 = (17.04 - 0.0) / (255.0 - 1.0)
+        g5 = (15.303 - 1.238) / (255.0 - 1.0)
+        infos = {
+            "modern_l7": (0.067087, -0.06709, 666.09, 1282.71),
+            "oldest_l7": (g7, 0.0 - 1.0 * g7, 666.09, 1282.71),
+            "oldest_l5": (g5, 1.238 - 1.0 * g5, 607.76, 1260.56),
+        }
+    return mtl.q_thermal_calib(d, infos)
+
+
 # name -> builder(dialect) returning a full SQL string over the
 # pre-registered views. Spark runs the SPARK rendering (declarative,
 # Catalyst-optimized); the driver runs the DUCKDB rendering as oracle.
@@ -68,6 +95,9 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     # the hash match proves the angles carry the XML's numbers
     "sat_angles_grid": lambda d: angles.q_sat_angles_grid(
         d, _s2_tile_meta()),
+    # MTL metadata source + thermal calibration (S5/S6): Spark parses
+    # the fixture files, the oracle re-derives independently
+    "mtl_thermal_calib": _mtl_thermal_calib_sql,
     # dedup family
     "dedup_exact": dedup.q_exact_dedup,
     "dedup_minhash_signatures": dedup.q_minhash_signatures,
@@ -663,6 +693,7 @@ _BOARD_ORDER: tuple[str, ...] = (
     # minhash_pairs of dedup_clusters (whose oracle rebuilds the same
     # candidate-pair CTE), s2_cdi_pcp of the two CDI rows that expose
     # pcp_i directly) ----
+    "mtl_thermal_calib",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",
     "dedup_minhash_pairs",

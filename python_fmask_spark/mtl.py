@@ -100,3 +100,54 @@ def thermal_info_from_mtl(mtl: dict[str, str],
             raise KeyError("Cannot find SENSOR_ID in MTL file")
         k1, k2 = LANDSAT_K1[sensor], LANDSAT_K2[sensor]
     return ThermalInfo(gain=gain, offset=offset, k1=k1, k2=k2)
+
+
+def q_thermal_calib(d: str,
+                    infos: dict[str, tuple[float, float, float, float]]
+                    ) -> str:
+    """Thermal-calibration ladder SQL (S6 on the driver board): per
+    MTL regime, scale every 8-bit thermal DN through the reference's
+    radiance -> brightness-temperature conversion
+    (ThermalFileInfo.scaleThermalDNtoC, fmask/config.py:507-521):
+    rad = dn*gain + offset (clamped to 1e-5 at <= 0),
+    bt_c = k2 / ln(k1/rad + 1) - 273.15.
+
+    ``infos`` maps regime name -> (gain, offset, k1, k2). The Spark
+    side passes constants PARSED from the fixture MTL files
+    (mtl.read_mtl_file + thermal_info_from_mtl — the S5 source and the
+    S6 extraction, incl. the oldest-format LMIN/LMAX derivation); the
+    oracle passes an independent hand transcription of the same
+    formulas over the raw fixture numbers — the hash match proves the
+    parser end-to-end, not just that both sides share one code path.
+
+    Scale shape: the calibration dim is one row per scene (broadcast);
+    the DN scaling is pure codegen arithmetic on the scan side."""
+    from .dialect import explode_series
+    rows = ", ".join(
+        f"('{name}', {g!r}, {o!r}, {k1!r}, {k2!r})"
+        for name, (g, o, k1, k2) in sorted(infos.items()))
+    cols = "regime, gain, offset_, k1, k2"
+    values = (f"SELECT * FROM VALUES {rows} AS t({cols})" if d == "spark"
+              else f"SELECT * FROM (VALUES {rows}) AS t({cols})")
+    dn_gen = explode_series("1", "255", "dn", d)
+    return f"""
+WITH calib AS (
+  SELECT regime, cast(gain as double) AS gain,
+    cast(offset_ as double) AS offset_,
+    cast(k1 as double) AS k1, cast(k2 as double) AS k2
+  FROM ({values}) v
+),
+ladder AS (
+  SELECT regime, gain, offset_, k1, k2, {dn_gen} FROM calib
+),
+rad AS (
+  SELECT regime, dn, k1, k2,
+    case when cast(dn as double) * gain + offset_ <= 0.0
+         then 0.00001 else cast(dn as double) * gain + offset_ end AS r
+  FROM ladder
+)
+SELECT regime, cast(dn as int) AS dn,
+  cast(round(r * 1000000.0) as bigint) AS rad_micro,
+  cast(round((k2 / ln(k1 / r + 1.0) - 273.15) * 1000.0) as bigint)
+    AS bt_milli
+FROM rad"""
