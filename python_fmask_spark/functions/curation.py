@@ -31,7 +31,7 @@ each stage in isolation.
 from __future__ import annotations
 
 from ..derive import documents_wide_sql
-from ..dialect import DUCKDB, SPARK
+from ..dialect import DUCKDB, SPARK, explode_series, md5_slice_int
 from .dedup import _minhash_cte, clusters_cte_chain_duckdb
 from .text import quality_ctes
 
@@ -93,3 +93,66 @@ WITH RECURSIVE {ctes},
 {clusters_cte_chain_duckdb()},
 clu AS (SELECT url, is_dup FROM clu_final),
 {_curate_tail(DUCKDB)}""".strip()
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word n-gram overlap with a held-out set)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8     # words per overlap n-gram (published pipelines use
+#                     8-13; the synthetic ~54-word docs suit the low end)
+DECON_EVAL_MOD = 20  # deterministic eval split: md5(url) % 20 == 0 (~5%)
+
+
+def q_decontaminate(d: str, n: int = DECON_NGRAM,
+                    eval_mod: int = DECON_EVAL_MOD) -> str:
+    """Training-data decontamination: flag every training document that
+    shares at least one word ``n``-gram with the evaluation split, with
+    hit counts for triage (n_hit_ngrams, n_eval_docs).
+
+    The evaluation split is a deterministic md5(url) slice of the same
+    corpus (no external data); production passes a real benchmark table
+    in its place — the plan shape is identical.
+
+    Scale shape at 10^12 training docs: the eval side is benchmark-sized
+    (MBs — thousands of documents, bounded regardless of corpus size),
+    so its distinct n-gram set is a BROADCAST build side; the probe is
+    one equi-join on the n-gram string against per-document-distinct
+    training n-grams (explode + map-side distinct), then a hash
+    aggregation per training url. No corpus-side sort, no all-pairs.
+    The n-gram itself is split-once + slice (array ops, whole-stage
+    codegen), not per-position re-tokenization.
+    """
+    if d == SPARK:
+        gram = f"array_join(slice(split(text, ' '), pos, {n}), ' ')"
+        hint = "/*+ BROADCAST(e) */ "
+    else:
+        gram = (f"array_to_string(list_slice(string_split(text, ' '), "
+                f"pos, pos + {n - 1}), ' ')")
+        hint = ""
+    n_words = ("(cast(length(text) - length(replace(text, ' ', '')) "
+               "as bigint) + 1)")
+    gen = explode_series("1", f"greatest({n_words} - {n - 1}, 1)", "pos", d)
+    is_eval = f"({md5_slice_int('url', 1, 4, d)} % {eval_mod} = 0)"
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+tagged AS (
+  SELECT url, text,
+    CASE WHEN {is_eval} THEN 1 ELSE 0 END AS is_eval
+  FROM docs
+),
+positions AS (
+  SELECT url, is_eval, text, {gen} FROM tagged
+),
+grams AS (
+  SELECT DISTINCT url, is_eval, {gram} AS gram FROM positions
+),
+eval_grams AS (
+  SELECT url AS eval_url, gram FROM grams WHERE is_eval = 1
+)
+SELECT {hint}g.url,
+  count(DISTINCT g.gram) AS n_hit_ngrams,
+  count(DISTINCT e.eval_url) AS n_eval_docs
+FROM grams g JOIN eval_grams e ON g.gram = e.gram
+WHERE g.is_eval = 0
+GROUP BY g.url"""
