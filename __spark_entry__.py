@@ -122,6 +122,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_tokens": textfn.q_token_counts,
     "text_fingerprint": textfn.q_fingerprint,
     "text_repetition": textfn.q_repetition,
+    "text_dup_span": textfn.q_dup_span_coverage,
     "text_pii_scrub": textfn.q_pii_scrub,
     # benchmark decontamination: n=4 / 5%-eval-at-mod-10 is the
     # contamination-selective grain on the ~40-word synthetic
@@ -661,7 +662,6 @@ _BOARD_ORDER: tuple[str, ...] = (
     "cloud_interim",
     "fmask_interim_class",
     "fmask_interim_class_s2_offset",
-    "fmask_interim_class_s2_cdi",
     "sat_angles_grid",
     # LLM-data-pipeline operators
     "dedup_exact",
@@ -681,6 +681,7 @@ _BOARD_ORDER: tuple[str, ...] = (
     "text_tokens",
     "text_fingerprint",
     "text_repetition",
+    "text_dup_span",
     "text_pii_scrub",
     "text_decontaminate",
     "sample_domain_mix",
@@ -701,6 +702,10 @@ _BOARD_ORDER: tuple[str, ...] = (
     # (whose oracle rebuilds the same candidate-pair CTE), s2_cdi_pcp
     # of the two CDI rows that expose pcp_i directly) ----
     "mtl_thermal_calib",
+    # interim_s2_cdi is a strict subset of the in-record
+    # fmask_final_class_s2_cdi fixture row (full chain over the same
+    # CDI-composed pass 1, checked against an independent transcription)
+    "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",
     "dedup_minhash_pairs",

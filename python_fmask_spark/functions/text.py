@@ -9,7 +9,7 @@ engine differences in the correctness path.
 from __future__ import annotations
 
 from ..derive import documents_wide_sql
-from ..dialect import SPARK, cast_str, explode_series, md5_slice_int
+from ..dialect import SPARK, cast_str, explode_series, idiv, md5_slice_int
 
 # marker substring per language (simple stopword heuristic)
 _LANG_MARKERS = {
@@ -121,6 +121,54 @@ SELECT url, min(sh) AS fp_min, max(sh) AS fp_max,
   count(DISTINCT sh) AS fp_card,
   cast(sum(sh) % 9007199254740993 as bigint) AS fp_sum
 FROM hashes GROUP BY url"""
+
+
+DUP_SPAN_K = 20  # chars per span gram (exact-substring dedup pipelines
+#                  use ~50-token windows; 20 chars is the equivalent
+#                  grain on the short synthetic docs)
+
+
+def q_dup_span_coverage(d: str, k: int = DUP_SPAN_K) -> str:
+    """Cross-document duplicated-text fraction: the share of a
+    document's char ``k``-gram positions whose gram also appears in at
+    least one OTHER document (the exact-substring-dedup signal — bulk
+    boilerplate and mirrored text score high; within-document
+    repetition is deliberately excluded, q_repetition covers that).
+
+    Scale shape at 10^12 docs: this is the canonical two-aggregation
+    substring-dedup plan — (1) explode positions, hash each gram to
+    8 bytes, aggregate distinct-doc counts per gram (map-side
+    combinable, shuffle carries only (hash, url) pairs), (2) join the
+    duplicated grams back to the position stream and aggregate per url.
+    Both shuffles key on the gram hash, so AQE coalesces them into one
+    exchange reuse; in production the duplicated-gram set (count > 1)
+    is orders of magnitude smaller than the gram stream and becomes a
+    broadcast/bloom build side.
+    """
+    gen = explode_series("1", f"greatest(length(text) - {k - 1}, 1)",
+                         "pos", d)
+    h = md5_slice_int(f"substr(text, pos, {k})", 1, 8, d)
+    frac = idiv("(1000 * cast(sum(is_dup) as bigint))", "count(*)", d)
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+positions AS (
+  SELECT url, text, {gen} FROM docs
+),
+grams AS (
+  SELECT url, {h} AS g FROM positions
+),
+gram_docs AS (
+  SELECT g, count(DISTINCT url) AS n_docs FROM grams GROUP BY g
+),
+flagged AS (
+  SELECT gr.url,
+    CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM grams gr JOIN gram_docs gd ON gr.g = gd.g
+)
+SELECT url, count(*) AS n_grams,
+  cast(sum(is_dup) as bigint) AS n_dup_grams,
+  cast({frac} as bigint) AS dup_frac_milli
+FROM flagged GROUP BY url"""
 
 
 def q_repetition(d: str) -> str:
