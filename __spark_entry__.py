@@ -124,7 +124,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_repetition": textfn.q_repetition,
     "text_dup_span": textfn.q_dup_span_coverage,
     "text_pii_scrub": textfn.q_pii_scrub,
-    # benchmark decontamination: n=4 / 5%-eval-at-mod-10 is the
+    # benchmark decontamination: n=4 / ~10%-eval-at-mod-10 is the
     # contamination-selective grain on the ~40-word synthetic
     # vocabulary (n>=5 leaves only the 2 literal near-dup pairs;
     # production uses the 8-13-word default over a real benchmark)
@@ -693,18 +693,17 @@ _BOARD_ORDER: tuple[str, ...] = (
     "toa_reflectance",
     "zero_band_check",
     "resample_coarse",
-    # ---- the 50-entry driver record cuts off after mtl_thermal_calib;
-    # below is the redundant-coverage tail (off the record by design;
-    # re-drivable, green since round 2; each tail row is a strict
-    # subset of in-record evidence: interim_s2 of the _s2_offset row +
-    # the S2 full-chain fixtures, pass1_l47 of the
+    "mtl_thermal_calib",
+    # ---- the 50-entry driver record cuts off HERE, after
+    # mtl_thermal_calib (entry 50, in-record); below is the
+    # redundant-coverage tail (off the record by design; re-drivable,
+    # green since round 2; each tail row is a strict subset of
+    # in-record evidence: interim_s2_cdi of the full-chain
+    # fmask_final_class_s2_cdi fixture row, interim_s2 of the
+    # _s2_offset row + the S2 full-chain fixtures, pass1_l47 of the
     # fmask_final_class_l47 fixture, minhash_pairs of dedup_clusters
     # (whose oracle rebuilds the same candidate-pair CTE), s2_cdi_pcp
     # of the two CDI rows that expose pcp_i directly) ----
-    "mtl_thermal_calib",
-    # interim_s2_cdi is a strict subset of the in-record
-    # fmask_final_class_s2_cdi fixture row (full chain over the same
-    # CDI-composed pass 1, checked against an independent transcription)
     "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",

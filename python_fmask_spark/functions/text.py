@@ -137,7 +137,8 @@ def q_dup_span_coverage(d: str, k: int = DUP_SPAN_K) -> str:
 
     Scale shape at 10^12 docs: this is the canonical two-aggregation
     substring-dedup plan — (1) explode positions, hash each gram to
-    8 bytes, aggregate distinct-doc counts per gram (map-side
+    8 bytes (two md5 32-bit halves, so the hash space doesn't saturate
+    at corpus scale), aggregate distinct-doc counts per gram (map-side
     combinable, shuffle carries only (hash, url) pairs), (2) join the
     duplicated grams back to the position stream and aggregate per url.
     Both shuffles key on the gram hash, so AQE coalesces them into one
@@ -147,7 +148,8 @@ def q_dup_span_coverage(d: str, k: int = DUP_SPAN_K) -> str:
     """
     gen = explode_series("1", f"greatest(length(text) - {k - 1}, 1)",
                          "pos", d)
-    h = md5_slice_int(f"substr(text, pos, {k})", 1, 8, d)
+    h1 = md5_slice_int(f"substr(text, pos, {k})", 1, 8, d)
+    h2 = md5_slice_int(f"substr(text, pos, {k})", 9, 8, d)
     frac = idiv("(1000 * cast(sum(is_dup) as bigint))", "count(*)", d)
     return f"""
 WITH docs AS ({documents_wide_sql(d, 'documents')}),
@@ -155,15 +157,17 @@ positions AS (
   SELECT url, text, {gen} FROM docs
 ),
 grams AS (
-  SELECT url, {h} AS g FROM positions
+  SELECT url, {h1} AS g1, {h2} AS g2 FROM positions
 ),
 gram_docs AS (
-  SELECT g, count(DISTINCT url) AS n_docs FROM grams GROUP BY g
+  SELECT g1, g2, count(DISTINCT url) AS n_docs
+  FROM grams GROUP BY g1, g2
 ),
 flagged AS (
   SELECT gr.url,
     CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END AS is_dup
-  FROM grams gr JOIN gram_docs gd ON gr.g = gd.g
+  FROM grams gr
+  JOIN gram_docs gd ON gr.g1 = gd.g1 AND gr.g2 = gd.g2
 )
 SELECT url, count(*) AS n_grams,
   cast(sum(is_dup) as bigint) AS n_dup_grams,

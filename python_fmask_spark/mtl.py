@@ -122,12 +122,13 @@ def q_thermal_calib(d: str,
 
     Scale shape: the calibration dim is one row per scene (broadcast);
     the DN scaling is pure codegen arithmetic on the scan side."""
-    from .dialect import explode_series
+    from .dialect import SPARK, _check, explode_series
+    _check(d)
     rows = ", ".join(
         f"('{name}', {g!r}, {o!r}, {k1!r}, {k2!r})"
         for name, (g, o, k1, k2) in sorted(infos.items()))
     cols = "regime, gain, offset_, k1, k2"
-    values = (f"SELECT * FROM VALUES {rows} AS t({cols})" if d == "spark"
+    values = (f"SELECT * FROM VALUES {rows} AS t({cols})" if d == SPARK
               else f"SELECT * FROM (VALUES {rows}) AS t({cols})")
     dn_gen = explode_series("1", "255", "dn", d)
     return f"""
