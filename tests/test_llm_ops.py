@@ -209,3 +209,77 @@ SELECT * FROM (VALUES
     assert a3["neardup_ok"] == 0 or b1["neardup_ok"] == 0
     assert a3["lang_ok"] == 0 and a3["keep"] == 0
     assert a2["quality_ok"] == 0 and a2["keep"] == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span coverage + benchmark decontamination (round-5 additions)
+# ---------------------------------------------------------------------------
+
+_SPAN_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_SPAN_U = "completely different words that never overlap with anything"
+_SPAN_DOCS_SQL = f"""
+SELECT * FROM (VALUES
+  (0, '{_SPAN_A}', 'en', 'srcA'),
+  (1, '{_SPAN_A}', 'en', 'srcB'),
+  (2, '{_SPAN_U}', 'en', 'srcA')
+) AS t(doc_id, text, lang, source)
+"""
+
+
+def test_dup_span_exact_duplicates_score_1000():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS {_SPAN_DOCS_SQL}")
+    rows = {r[0]: r for r in con.execute(
+        textfn.q_dup_span_coverage(DUCKDB)).fetchall()}
+    # identical docs: every 20-char gram appears in the other copy
+    assert rows["https://srcA.example/p/0"][3] == 1000
+    assert rows["https://srcB.example/p/1"][3] == 1000
+    # the unique doc shares no 20-char span with anything
+    u = rows["https://srcA.example/p/2"]
+    assert u[2] == 0 and u[3] == 0
+    # n_grams == len(text) - 19 for docs longer than one gram
+    assert rows["https://srcA.example/p/0"][1] == len(_SPAN_A) - 19
+
+
+def test_dup_span_partial_overlap_is_fractional():
+    con = duckdb.connect()
+    # doc 1 = doc 0's text plus a long unique tail: coverage must be
+    # strictly between 0 and 1000 for the longer doc
+    tail = " plus an entirely unrepeated continuation of words"
+    con.execute(f"""CREATE VIEW documents AS
+SELECT * FROM (VALUES
+  (0, '{_SPAN_A}', 'en', 'srcA'),
+  (1, '{_SPAN_A}{tail}', 'en', 'srcB')
+) AS t(doc_id, text, lang, source)""")
+    rows = {r[0]: r for r in con.execute(
+        textfn.q_dup_span_coverage(DUCKDB)).fetchall()}
+    longer = rows["https://srcB.example/p/1"]
+    assert 0 < longer[3] < 1000
+
+
+def test_decontaminate_flags_only_training_docs_sharing_eval_ngrams():
+    """Deterministic md5(url) eval split at mod 2 over srcA ids 0..5:
+    ids {2, 4} are eval, {0, 1, 3, 5} train (pinned by the fixed md5).
+    Docs 0-3 share text A -> train copies 0, 1, 3 are contaminated by
+    eval copy 2; unique train doc 5 and unique eval doc 4 flag nothing.
+    """
+    from python_fmask_spark.functions import curation
+    text_a = "alpha beta gamma delta epsilon zeta"  # 6 words, 3 4-grams
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS
+SELECT * FROM (VALUES
+  (0, 'alpha beta gamma delta epsilon zeta', 'en', 'srcA'),
+  (1, 'alpha beta gamma delta epsilon zeta', 'en', 'srcA'),
+  (2, 'alpha beta gamma delta epsilon zeta', 'en', 'srcA'),
+  (3, 'alpha beta gamma delta epsilon zeta', 'en', 'srcA'),
+  (4, 'nothing here matches the shared corpus text', 'en', 'srcA'),
+  (5, 'equally unrelated private training document body', 'en', 'srcA')
+) AS t(doc_id, text, lang, source)""")
+    rows = {r[0]: r for r in con.execute(
+        curation.q_decontaminate(DUCKDB, n=4, eval_mod=2)).fetchall()}
+    n_grams_a = len(text_a.split()) - 3  # 3 distinct 4-grams
+    assert set(rows) == {f"https://srcA.example/p/{i}" for i in (0, 1, 3)}
+    for i in (0, 1, 3):
+        url = f"https://srcA.example/p/{i}"
+        assert rows[url][1] == n_grams_a  # n_hit_ngrams
+        assert rows[url][2] == 1          # n_eval_docs (doc 2 only)
