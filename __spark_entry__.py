@@ -124,6 +124,10 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_repetition": textfn.q_repetition,
     "text_dup_span": textfn.q_dup_span_coverage,
     "text_pii_scrub": textfn.q_pii_scrub,
+    # CCNet-style statistical quality: add-one unigram likelihood vs a
+    # deterministic md5(url) reference split (log-free so the oracle
+    # hash stays exact; see q_ref_likelihood's docstring)
+    "text_ref_likelihood": textfn.q_ref_likelihood,
     # benchmark decontamination: n=4 / ~10%-eval-at-mod-10 is the
     # contamination-selective grain on the ~40-word synthetic
     # vocabulary (n>=5 leaves only the 2 literal near-dup pairs;
@@ -703,7 +707,12 @@ _BOARD_ORDER: tuple[str, ...] = (
     # _s2_offset row + the S2 full-chain fixtures, pass1_l47 of the
     # fmask_final_class_l47 fixture, minhash_pairs of dedup_clusters
     # (whose oracle rebuilds the same candidate-pair CTE), s2_cdi_pcp
-    # of the two CDI rows that expose pcp_i directly) ----
+    # of the two CDI rows that expose pcp_i directly). One exception:
+    # text_ref_likelihood is NEW (round 5), not redundant — it sits in
+    # the tail because every in-record row is the sole driver evidence
+    # for its SURVEY id, while the quality family already has
+    # text_quality in-record; it is pytest- plus re-drive-covered ----
+    "text_ref_likelihood",
     "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",

@@ -229,6 +229,83 @@ SELECT w.url, w.n_words, w.n_distinct_words,
 FROM w_stats w LEFT JOIN bg_stats b ON b.url = w.url""".strip()
 
 
+REF_LM_MOD = 20  # reference split: md5(url) % 20 == 1 (~5%), disjoint
+#                  from q_decontaminate's eval slice (% mod == 0)
+
+
+def q_ref_likelihood(d: str, ref_mod: int = REF_LM_MOD) -> str:
+    """Reference-corpus likelihood quality score (the CCNet-style
+    statistical filter, Wenzek et al. 2020): score every document by
+    how typical its words are of a trusted reference split — the
+    complement to the heuristic signals in q_quality_score. Low
+    commonness + high OOV flags gibberish, lorem-ipsum, and
+    wrong-register text that rule-based filters miss.
+
+    The reference split is a deterministic md5(url) slice of the same
+    corpus (no external data); production passes a curated corpus
+    (CCNet uses Wikipedia) — the plan shape is identical. The score is
+    the add-one-smoothed average unigram probability of the document
+    under the reference LM, emitted as exact integer micros:
+
+        commonness_micro = (1e6 * (sum_w c_ref(w) + n_words))
+                           div (n_words * (N_ref + V_ref))
+
+    Everything before the final ``div`` is a bigint aggregate, so the
+    value is bit-identical cross-engine with NO floating point at all
+    (CCNet's KenLM perplexity needs per-word logs whose libm noise
+    would break the oracle hash; the log-free form ranks documents the
+    same way for filtering and keeps the gate exact. At 10^12-doc scale
+    the 1e6-scaled numerator can exceed int64 — production divides
+    counts through by a power of two first, or plugs a real KenLM via
+    mapInPandas and drops the exactness claim).
+
+    Scale shape: the reference LM is vocab-sized regardless of corpus
+    size — a BROADCAST build side; the probe is one equi-join of the
+    exploded word stream against it, then a map-side-combinable
+    per-url aggregation; the two corpus constants are a 1-row dim
+    cross-joined (broadcast) into the final projection. No corpus-side
+    sort, no all-pairs.
+    """
+    nw = ("(cast((length(text) - length(replace(text, ' ', ''))) "
+          "as bigint) + 1)")
+    gen = explode_series("1", nw, "i", d)
+    is_ref = f"({md5_slice_int('url', 1, 4, d)} % {ref_mod} = 1)"
+    hint = "/*+ BROADCAST(lm) */ " if d == SPARK else ""
+    micro = idiv("(1000000 * (hit_mass + n_words))",
+                 "(n_words * (n_tot + v))", d)
+    oov_micro = idiv("(1000000 * oov_words)", "n_words", d)
+    return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+positions AS (
+  SELECT url, text, {gen} FROM docs
+),
+words AS (
+  SELECT url, split_part(text, ' ', cast(i as int)) AS w
+  FROM positions
+),
+lm AS (
+  SELECT w, cast(count(*) as bigint) AS c
+  FROM words WHERE {is_ref} GROUP BY w
+),
+consts AS (
+  SELECT cast(sum(c) as bigint) AS n_tot, cast(count(*) as bigint) AS v
+  FROM lm
+),
+scored AS (
+  SELECT {hint}dw.url,
+    cast(count(*) as bigint) AS n_words,
+    cast(sum(coalesce(lm.c, 0)) as bigint) AS hit_mass,
+    cast(sum(CASE WHEN lm.w IS NULL THEN 1 ELSE 0 END) as bigint)
+      AS oov_words
+  FROM words dw LEFT JOIN lm ON lm.w = dw.w
+  GROUP BY dw.url
+)
+SELECT url, n_words, hit_mass, oov_words,
+  cast({micro} as bigint) AS commonness_micro,
+  cast({oov_micro} as bigint) AS oov_micro
+FROM scored CROSS JOIN consts""".strip()
+
+
 def q_pii_scrub(d: str) -> str:
     """PII redaction — scrub email addresses and phone numbers with
     typed placeholder tokens, carrying per-type match counts so the

@@ -283,3 +283,81 @@ SELECT * FROM (VALUES
         url = f"https://srcA.example/p/{i}"
         assert rows[url][1] == n_grams_a  # n_hit_ngrams
         assert rows[url][2] == 1          # n_eval_docs (doc 2 only)
+
+
+# ---------------------------------------------------------------------------
+# reference-corpus likelihood (CCNet-style statistical quality, round 5)
+# ---------------------------------------------------------------------------
+
+def _ref_likelihood_python(docs: dict[str, str], ref_mod: int) -> dict:
+    """Independent reimplementation of q_ref_likelihood's contract:
+    add-one-smoothed average unigram probability vs the md5(url)
+    reference split, exact integer micros."""
+    import hashlib
+
+    def in_ref(url: str) -> bool:
+        return int(hashlib.md5(url.encode()).hexdigest()[:4], 16) \
+            % ref_mod == 1
+
+    lm: dict[str, int] = {}
+    for url, text in docs.items():
+        if in_ref(url):
+            for w in text.split(" "):
+                lm[w] = lm.get(w, 0) + 1
+    n_tot, v = sum(lm.values()), len(lm)
+    out = {}
+    for url, text in docs.items():
+        words = text.split(" ")
+        n = len(words)
+        hit = sum(lm.get(w, 0) for w in words)
+        oov = sum(1 for w in words if w not in lm)
+        out[url] = (n, hit, oov,
+                    (1000000 * (hit + n)) // (n * (n_tot + v)),
+                    (1000000 * oov) // n)
+    return out
+
+
+def test_ref_likelihood_matches_python_reimplementation():
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS
+SELECT * FROM (VALUES
+  (0, 'the quick brown fox jumps over the lazy dog', 'en', 'srcA'),
+  (1, 'the lazy dog sleeps under the quick brown fox', 'en', 'srcA'),
+  (2, 'zzz qqq xxx www vvv', 'en', 'srcA'),
+  (3, 'the the the the', 'en', 'srcB'),
+  (4, 'brown dog and quick fox share common words', 'en', 'srcB'),
+  (5, 'one more ordinary document about the brown dog', 'en', 'srcB')
+) AS t(doc_id, text, lang, source)""")
+    texts = {f"https://src{s}.example/p/{i}": t for i, t, s in [
+        (0, 'the quick brown fox jumps over the lazy dog', 'A'),
+        (1, 'the lazy dog sleeps under the quick brown fox', 'A'),
+        (2, 'zzz qqq xxx www vvv', 'A'),
+        (3, 'the the the the', 'B'),
+        (4, 'brown dog and quick fox share common words', 'B'),
+        (5, 'one more ordinary document about the brown dog', 'B'),
+    ]}
+    expected = _ref_likelihood_python(texts, ref_mod=2)
+    # sanity on the fixture itself: the mod-2 split must be non-trivial
+    ref_n = sum(1 for u, e in expected.items() if e[1] > 0 or e[2] < e[0])
+    assert 0 < ref_n, "fixture degenerate: empty reference split"
+    rows = {r[0]: tuple(r[1:]) for r in con.execute(
+        textfn.q_ref_likelihood(DUCKDB, ref_mod=2)).fetchall()}
+    assert rows == expected
+
+
+def test_ref_likelihood_ranks_oov_gibberish_below_common_text():
+    """Semantic check on the real sf0.001 corpus: a planted
+    gibberish document must rank below every organic document on
+    commonness and carry full OOV."""
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS
+SELECT doc_id, text, lang, source
+FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+UNION ALL
+SELECT 999999, 'qzx wvu tsr qpo nml kji hgf', 'en', 'planted'""")
+    df = con.execute(textfn.q_ref_likelihood(DUCKDB)).fetchdf()
+    planted = df[df.url == "https://planted.example/p/999999"].iloc[0]
+    organic = df[df.url != "https://planted.example/p/999999"]
+    assert planted["oov_micro"] == 1000000          # every word OOV
+    assert planted["hit_mass"] == 0
+    assert (organic["commonness_micro"] > planted["commonness_micro"]).all()
