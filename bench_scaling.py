@@ -225,6 +225,17 @@ def main() -> None:
                     help="attach per-stage task metrics (shuffle bytes, "
                          "spill, GC, task-time histogram) from the Spark "
                          "event log to each run")
+    ap.add_argument("--interleave", action="store_true",
+                    help="ABBA design: run the two levels in ADJACENT "
+                         "alternating pairs (lo,hi / hi,lo / ...) and "
+                         "report per-pair efficiency plus the median. "
+                         "The box's bus window decorrelates on roughly "
+                         "one run's timescale (r5 probes), so the "
+                         "default block design — all lo runs, then all "
+                         "hi runs — compares legs from DIFFERENT "
+                         "windows; pairing in time removes that "
+                         "nuisance covariate and the order flip "
+                         "cancels first-order drift within each pair")
     args = ap.parse_args()
     EXEC_MEM_MB[0] = args.exec_mem_mb
     if args.prep_cache:
@@ -243,26 +254,48 @@ def main() -> None:
             p3path = os.path.join(td, "pass3")
             _run(PREP, [args.sf, str(args.replicate), p3path,
                         str(args.cell_deg)])
-        results = {}
-        for cpus in (lo, hi):
-            best = None
-            for rep_i in range(args.repeats):
-                evdir = (os.path.join(td, f"ev_{cpus}_{rep_i}")
-                         if args.stage_metrics else "")
-                stdout = _run(WORKER, [str(cpus), p3path, evdir,
-                                       args.mode],
-                              taskset_cpus=cpus)
-                line = [ln for ln in stdout.splitlines()
-                        if ln.startswith("{")]
-                run = json.loads(line[-1])
-                st = [ln for ln in stdout.splitlines()
-                      if ln.startswith("STAGES ")]
-                if st:
-                    run["stages"] = json.loads(st[-1][len("STAGES "):])
-                if best is None or run["wall_sec"] < best["wall_sec"]:
-                    best = run
-            best["n_runs"] = args.repeats
-            results[cpus] = best
+        def one_run(cpus: int, tag: str) -> dict:
+            evdir = (os.path.join(td, f"ev_{tag}")
+                     if args.stage_metrics else "")
+            stdout = _run(WORKER, [str(cpus), p3path, evdir, args.mode],
+                          taskset_cpus=cpus)
+            line = [ln for ln in stdout.splitlines()
+                    if ln.startswith("{")]
+            run = json.loads(line[-1])
+            st = [ln for ln in stdout.splitlines()
+                  if ln.startswith("STAGES ")]
+            if st:
+                run["stages"] = json.loads(st[-1][len("STAGES "):])
+            return run
+
+        pairs = []
+        if args.interleave:
+            for pair_i in range(args.repeats):
+                order = (lo, hi) if pair_i % 2 == 0 else (hi, lo)
+                got = {c: one_run(c, f"{c}_{pair_i}") for c in order}
+                pairs.append({
+                    "order": f"{order[0]},{order[1]}",
+                    "lo": got[lo], "hi": got[hi],
+                    "efficiency": round(
+                        got[lo]["wall_sec"] / got[hi]["wall_sec"]
+                        / (hi / lo), 3),
+                })
+            # representative legs for the summary row: the median-
+            # efficiency pair (time-adjacent, same bus window)
+            mid = sorted(pairs, key=lambda p: p["efficiency"])[
+                len(pairs) // 2]
+            results = {lo: dict(mid["lo"], n_runs=args.repeats),
+                       hi: dict(mid["hi"], n_runs=args.repeats)}
+        else:
+            results = {}
+            for cpus in (lo, hi):
+                best = None
+                for rep_i in range(args.repeats):
+                    run = one_run(cpus, f"{cpus}_{rep_i}")
+                    if best is None or run["wall_sec"] < best["wall_sec"]:
+                        best = run
+                best["n_runs"] = args.repeats
+                results[cpus] = best
 
     ratio = results[lo]["wall_sec"] / results[hi]["wall_sec"]
     eff = ratio / (hi / lo)
@@ -276,6 +309,12 @@ def main() -> None:
         "replicate": args.replicate,
         "mode": args.mode,
     }
+    if args.interleave:
+        result["design"] = "interleaved-ABBA"
+        result["pair_efficiencies"] = [p["efficiency"] for p in pairs]
+        result["pair_orders"] = [p["order"] for p in pairs]
+        result["value"] = sorted(
+            p["efficiency"] for p in pairs)[len(pairs) // 2]
     print(json.dumps(result))
     if args.write_md:
         os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -287,11 +326,16 @@ def main() -> None:
                         "evidence\n\n"
                         "| levels | tiles/sec | speedup | efficiency | "
                         "config |\n|---|---|---|---|---|\n")
+            design = ""
+            if args.interleave:
+                design = ("design=interleaved-ABBA pair_effs="
+                          + ",".join(str(p["efficiency"]) for p in pairs)
+                          + " (median pair shown) ")
             f.write(
                 f"| local[{lo}] vs local[{hi}] | "
                 f"{results[lo]['tiles_per_sec']} vs "
                 f"{results[hi]['tiles_per_sec']} | {ratio:.2f}x | "
-                f"{eff:.3f} | mode={args.mode} sf={args.sf} rep={args.replicate} cell_deg={args.cell_deg} "
+                f"{result['value']:.3f} | {design}mode={args.mode} sf={args.sf} rep={args.replicate} cell_deg={args.cell_deg} "
                 f"tiles={results[hi]['n_tiles']} "
                 f"rows={results[hi]['n_rows']} "
                 f"morph={results[lo]['wall_morph_sec']}/"
