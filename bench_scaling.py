@@ -206,8 +206,11 @@ def main() -> None:
     ap.add_argument("--cell-deg", type=float, default=10.0)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--repeats", type=int, default=1,
-                    help="runs per level; min wall is kept (the box is "
-                         "multi-tenant — min is the least-contended run)")
+                    help="block design: runs per level, min wall kept "
+                         "(the box is multi-tenant — min is the least-"
+                         "contended run). --interleave: number of "
+                         "(lo,hi) PAIRS; each reported leg is the "
+                         "single run from the median-efficiency pair")
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--prep-cache", default="",
                     help="directory to cache the (sf, replicate, "
@@ -280,12 +283,21 @@ def main() -> None:
                         got[lo]["wall_sec"] / got[hi]["wall_sec"]
                         / (hi / lo), 3),
                 })
-            # representative legs for the summary row: the median-
-            # efficiency pair (time-adjacent, same bus window)
-            mid = sorted(pairs, key=lambda p: p["efficiency"])[
-                len(pairs) // 2]
-            results = {lo: dict(mid["lo"], n_runs=args.repeats),
-                       hi: dict(mid["hi"], n_runs=args.repeats)}
+            # true median efficiency (mean of the two middle pairs when
+            # the count is even — upper-median would systematically pick
+            # the better pair and reintroduce the drift bias the ABBA
+            # order flip cancels)
+            effs = sorted(p["efficiency"] for p in pairs)
+            n = len(effs)
+            med_eff = (effs[n // 2] if n % 2 == 1
+                       else round((effs[n // 2 - 1] + effs[n // 2]) / 2, 3))
+            # representative legs for the summary row: the pair whose
+            # efficiency is closest to the median (time-adjacent, same
+            # bus window); n_runs=1 — each leg is that single run, NOT
+            # a min-of-N
+            mid = min(pairs, key=lambda p: abs(p["efficiency"] - med_eff))
+            results = {lo: dict(mid["lo"], n_runs=1),
+                       hi: dict(mid["hi"], n_runs=1)}
         else:
             results = {}
             for cpus in (lo, hi):
@@ -313,8 +325,7 @@ def main() -> None:
         result["design"] = "interleaved-ABBA"
         result["pair_efficiencies"] = [p["efficiency"] for p in pairs]
         result["pair_orders"] = [p["order"] for p in pairs]
-        result["value"] = sorted(
-            p["efficiency"] for p in pairs)[len(pairs) // 2]
+        result["value"] = med_eff
     print(json.dumps(result))
     if args.write_md:
         os.makedirs("/root/repo/BENCH", exist_ok=True)

@@ -23,6 +23,13 @@ def _count_occurrences(text: str, needle: str) -> str:
     return f"((length({text}) - length(replace({text}, '{esc}', ''))) / {n})"
 
 
+# single-space word count — THE tokenization convention every quality
+# signal in this module shares (q_quality_score, q_token_counts,
+# q_repetition, q_ref_likelihood); change it HERE only
+N_WORDS_EXPR = ("(cast((length(text) - length(replace(text, ' ', ''))) "
+                "as bigint) + 1)")
+
+
 def q_lang_id(d: str) -> str:
     """N-gram/stopword language score: occurrence counts of per-language
     marker tokens; guess = argmax (ties -> lexicographic first)."""
@@ -53,7 +60,7 @@ def quality_ctes(d: str) -> str:
     n_words, *_milli, quality_milli). Factored out so composite
     pipelines (functions/curation.py) can reuse the exact scoring
     expressions in the same statement without re-deriving docs."""
-    n_words = "(cast((length(text) - length(replace(text, ' ', ''))) as bigint) + 1)"
+    n_words = N_WORDS_EXPR
     # digit count via chained replaces 0-9
     inner = "text"
     for ch in "0123456789":
@@ -93,7 +100,7 @@ FROM quality"""
 def q_token_counts(d: str) -> str:
     """Whitespace tokens + BPE-ish subword estimate (ceil(chars/4) per
     word, the common ~4-chars-per-token rule)."""
-    n_words = "(cast((length(text) - length(replace(text, ' ', ''))) as bigint) + 1)"
+    n_words = N_WORDS_EXPR
     n_chars_nospace = "cast(length(replace(text, ' ', '')) as bigint)"
     return f"""
 WITH docs AS ({documents_wide_sql(d, 'documents')})
@@ -190,8 +197,7 @@ def q_repetition(d: str) -> str:
     quality-signal output. Scale shape: one explode to word positions
     (like q_fingerprint's shingles), then map-side-combinable
     (url, bigram) counts; no joins wider than url."""
-    nw = ("(cast((length(text) - length(replace(text, ' ', ''))) "
-          "as bigint) + 1)")
+    nw = N_WORDS_EXPR
     gen = explode_series("1", nw, "i", d)
     return f"""
 WITH docs AS ({documents_wide_sql(d, 'documents')}),
@@ -265,14 +271,21 @@ def q_ref_likelihood(d: str, ref_mod: int = REF_LM_MOD) -> str:
     per-url aggregation; the two corpus constants are a 1-row dim
     cross-joined (broadcast) into the final projection. No corpus-side
     sort, no all-pairs.
+
+    An EMPTY reference split (no url hits the md5 slice — possible on
+    tiny corpora or a mischosen ref_mod) makes the score undefined:
+    commonness_micro is emitted as NULL for every row, guarded
+    explicitly so both dialects agree (unguarded, Spark's ``div 0``
+    returns NULL while DuckDB's ``// 0`` raises — a parity trap).
     """
-    nw = ("(cast((length(text) - length(replace(text, ' ', ''))) "
-          "as bigint) + 1)")
+    nw = N_WORDS_EXPR
     gen = explode_series("1", nw, "i", d)
     is_ref = f"({md5_slice_int('url', 1, 4, d)} % {ref_mod} = 1)"
     hint = "/*+ BROADCAST(lm) */ " if d == SPARK else ""
-    micro = idiv("(1000000 * (hit_mass + n_words))",
-                 "(n_words * (n_tot + v))", d)
+    micro = ("CASE WHEN v = 0 THEN NULL ELSE "
+             + idiv("(1000000 * (hit_mass + n_words))",
+                    "(n_words * (coalesce(n_tot, 0) + v))", d)
+             + " END")
     oov_micro = idiv("(1000000 * oov_words)", "n_words", d)
     return f"""
 WITH docs AS ({documents_wide_sql(d, 'documents')}),

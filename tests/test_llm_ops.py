@@ -336,10 +336,14 @@ SELECT * FROM (VALUES
         (4, 'brown dog and quick fox share common words', 'B'),
         (5, 'one more ordinary document about the brown dog', 'B'),
     ]}
-    expected = _ref_likelihood_python(texts, ref_mod=2)
-    # sanity on the fixture itself: the mod-2 split must be non-trivial
-    ref_n = sum(1 for u, e in expected.items() if e[1] > 0 or e[2] < e[0])
+    # sanity on the fixture itself BEFORE the reimpl (which divides by
+    # the LM mass): the mod-2 split must be non-empty
+    import hashlib
+    ref_n = sum(1 for u in texts
+                if int(hashlib.md5(u.encode()).hexdigest()[:4], 16)
+                % 2 == 1)
     assert 0 < ref_n, "fixture degenerate: empty reference split"
+    expected = _ref_likelihood_python(texts, ref_mod=2)
     rows = {r[0]: tuple(r[1:]) for r in con.execute(
         textfn.q_ref_likelihood(DUCKDB, ref_mod=2)).fetchall()}
     assert rows == expected
@@ -361,3 +365,25 @@ SELECT 999999, 'qzx wvu tsr qpo nml kji hgf', 'en', 'planted'""")
     assert planted["oov_micro"] == 1000000          # every word OOV
     assert planted["hit_mass"] == 0
     assert (organic["commonness_micro"] > planted["commonness_micro"]).all()
+
+
+def test_ref_likelihood_empty_reference_split_yields_null_scores():
+    """With a ref_mod no md5 slice can satisfy, the LM is empty and the
+    score is undefined: commonness_micro must be NULL (both dialects —
+    the guard exists because unguarded DuckDB // 0 raises where Spark
+    div 0 returns NULL), while counts and oov stay well-defined."""
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS
+SELECT * FROM (VALUES
+  (0, 'some words here', 'en', 'srcA'),
+  (1, 'other words there', 'en', 'srcB')
+) AS t(doc_id, text, lang, source)""")
+    # the md5 slice is a 16-bit value, so with mod 2^20 only a slice of
+    # exactly 1 would join the split; these two fixed urls hash to
+    # 0x5169 and 0xd5bd — the split is provably empty
+    df = con.execute(
+        textfn.q_ref_likelihood(DUCKDB, ref_mod=1 << 20)).fetchdf()
+    assert len(df) == 2
+    assert df["commonness_micro"].isna().all()
+    assert (df["oov_micro"] == 1000000).all()
+    assert (df["hit_mass"] == 0).all()
