@@ -81,6 +81,9 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "cloud_interim": oracle.q_cloud_interim,
     "fmask_interim_class": oracle.q_fmask_interim_class,
     "pass1_cell_counts_l47": oracle.q_pass1_cell_counts_l47,
+    # Eqn-20 snow knobs rendered into BOTH dialects (config surface,
+    # --nirsnowthreshold/--greensnowthreshold; scripts/classify_job.py)
+    "pass1_snow_knob": oracle.q_pass1_snow_knob,
     # pre-04.00 product: zero offsets stated EXPLICITLY (the mandatory
     # offset gate raises when the dict is missing, fmask/fmask.py:137-149)
     "fmask_interim_class_s2": lambda d: oracle.q_fmask_interim_class_s2(
@@ -707,12 +710,15 @@ _BOARD_ORDER: tuple[str, ...] = (
     # _s2_offset row + the S2 full-chain fixtures, pass1_l47 of the
     # fmask_final_class_l47 fixture, minhash_pairs of dedup_clusters
     # (whose oracle rebuilds the same candidate-pair CTE), s2_cdi_pcp
-    # of the two CDI rows that expose pcp_i directly). One exception:
-    # text_ref_likelihood is NEW (round 5), not redundant — it sits in
-    # the tail because every in-record row is the sole driver evidence
-    # for its SURVEY id, while the quality family already has
-    # text_quality in-record; it is pytest- plus re-drive-covered ----
+    # of the two CDI rows that expose pcp_i directly). Two exceptions:
+    # text_ref_likelihood and pass1_snow_knob are NEW (round 5), not
+    # redundant — they sit in the tail because every in-record row is
+    # the sole driver evidence for its SURVEY id, while the quality
+    # family already has text_quality in-record and the snow knob's
+    # liveness + oracle-parity sweep is pinned by test_config_knobs;
+    # both are pytest- plus re-drive-covered ----
     "text_ref_likelihood",
+    "pass1_snow_knob",
     "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",

@@ -476,7 +476,9 @@ def bt_expr() -> str:
 
 
 def pass1_sql(d: str, sensor: str = "LANDSAT8",
-              s2_offsets: dict[str, int] | None = None) -> str:
+              s2_offsets: dict[str, int] | None = None,
+              nir_snow_thresh: float | None = None,
+              green_snow_thresh: float | None = None) -> str:
     """CTE chain computing pass-1 layers over ``features``.
 
     Produces the 8 layers of the reference's pass1 stack
@@ -491,7 +493,19 @@ def pass1_sql(d: str, sensor: str = "LANDSAT8",
     ``s2_offsets`` (SENTINEL2 only, MANDATORY there): per-engine-band
     radiometric DN offsets from the product XML
     (sen2meta.make_ref_offset_dict) — the reference refuses to run S2
-    without them (fmask/fmask.py:137-149)."""
+    without them (fmask/fmask.py:137-149).
+
+    ``nir_snow_thresh`` / ``green_snow_thresh`` are the Eqn-20 snow-test
+    reflectance floors — the reference's per-run setEqn20NirSnowThresh /
+    setEqn20GreenSnowThresh + CLI --nirsnowthreshold /
+    --greensnowthreshold knobs (fmask/config.py:354-368;
+    fmask/cmdline/usgsLandsatStacked.py:89-93,257-258; applied
+    fmask/fmask.py:452-453). None = the paper defaults
+    (0.11 / 0.1, constants.EQN20_*_SNOW_THRESH)."""
+    nir_snow = (C.EQN20_NIR_SNOW_THRESH if nir_snow_thresh is None
+                else float(nir_snow_thresh))
+    green_snow = (C.EQN20_GREEN_SNOW_THRESH if green_snow_thresh is None
+                  else float(green_snow_thresh))
     has_thermal = sensor != "SENTINEL2"
     has_cirrus = sensor in ("LANDSAT8", "SENTINEL2")
     if sensor == "SENTINEL2":
@@ -577,8 +591,8 @@ pass1 AS (
      AND ref_swir2 < {C.EQN7_SWIR2_THRESH}) AS clear_sky_water,
     (NOT nullmask AND NOT pcp AND NOT water_test) AS clear_land,
     {vprob_pcnt} AS variability_prob_pcnt,
-    (NOT nullmask AND ndsi > 0.15 AND ref_nir > {C.EQN20_NIR_SNOW_THRESH}
-     AND ref_green > {C.EQN20_GREEN_SNOW_THRESH}{snow_bt}) AS snow,
+    (NOT nullmask AND ndsi > 0.15 AND ref_nir > {nir_snow}
+     AND ref_green > {green_snow}{snow_bt}) AS snow,
     cast(least(floor(least(greatest(bt + {C.BT_OFFSET}, 0), {C.BT_HISTSIZE})),
          {C.BT_HISTSIZE - 1}) as int) AS scaled_bt_bin,
     cast(cast(floor(ref_nir * {C.B4_SCALE}) as bigint) % 256 as int) AS scaled_b4_bin

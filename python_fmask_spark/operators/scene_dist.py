@@ -276,7 +276,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
                          digests: DataFrame | None = None,
                          runner=None,
                          sensor: str = "LANDSAT8",
-                         s2_offsets: dict[str, int] | None = None) -> DataFrame:
+                         s2_offsets: dict[str, int] | None = None,
+                         tile_meta=None) -> DataFrame:
     """Full classification with bounded task grains (see module doc).
     Returns the same schema as pipeline.classify.
 
@@ -324,7 +325,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
                 fp_logic.append(p3.schema.json())
         else:
             fp_logic.append(pipeline.pass1_sql_text(
-                table, sensor=sensor, s2_offsets=s2_offsets))
+                table, sensor=sensor, s2_offsets=s2_offsets,
+                tile_meta=tile_meta))
         fp = pipeline.stage_fingerprint(spark, "||".join(fp_logic))
 
     def _mat(stage: str, build):
@@ -339,10 +341,14 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     if p3 is None:
         view = pipeline.materialize_pass1(spark, table, runner=runner,
                                           sensor=sensor,
-                                          s2_offsets=s2_offsets)
+                                          s2_offsets=s2_offsets,
+                                          tile_meta=tile_meta,
+                                          **params.snow_kwargs())
         thr = (None if runner is not None else
                pipeline.materialize_thresholds(spark, table, sensor=sensor,
-                                               s2_offsets=s2_offsets))
+                                               s2_offsets=s2_offsets,
+                                               tile_meta=tile_meta,
+                                               **params.snow_kwargs()))
         cols = ", ".join((*pipeline._KERNEL_COLS, "cell_rows"))
         p3 = _mat("dist_p3", lambda: spark.sql(pipeline.tail_sql_from_pass1(
             view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,

@@ -20,7 +20,9 @@ def _ctes(d: str, upto: str, table: str = "documents",
           s2_offsets: dict[str, int] | None = None,
           angles: bool = False,
           eqn17_cloud_prob_thresh: float | None = None,
-          tile_meta=None) -> str:
+          tile_meta=None,
+          nir_snow_thresh: float | None = None,
+          green_snow_thresh: float | None = None) -> str:
     # angles=False by default: none of the SQL-shaped oracle queries
     # read the per-pixel angle DN columns, and the ang_dim join that
     # feeds them is structural (unprunable). The kernel-path fixture
@@ -29,8 +31,10 @@ def _ctes(d: str, upto: str, table: str = "documents",
                                  angles=angles, tile_meta=tile_meta)]
     order = ["pass1", "thresholds", "pass2", "pass3", "majority"]
     builders = {
-        "pass1": lambda d: derive.pass1_sql(d, sensor=sensor,
-                                            s2_offsets=s2_offsets),
+        "pass1": lambda d: derive.pass1_sql(
+            d, sensor=sensor, s2_offsets=s2_offsets,
+            nir_snow_thresh=nir_snow_thresh,
+            green_snow_thresh=green_snow_thresh),
         "thresholds": lambda d: derive.thresholds_sql(d, sensor=sensor),
         "pass2": lambda d: derive.pass2_sql(
             d, sensor=sensor,
@@ -145,6 +149,25 @@ SELECT url, cell_id, r, c,
   end as int) AS fmask_class,
   {sha} AS text_sha256
 FROM clouddil"""
+
+
+def q_pass1_snow_knob(d: str, nir: float = 0.25,
+                      green: float = 0.2) -> str:
+    """Pass-1 layer counts under NON-DEFAULT Eqn-20 snow thresholds —
+    the reference's --nirsnowthreshold / --greensnowthreshold CLI knobs
+    (fmask/cmdline/usgsLandsatStacked.py:89-93,257-258; config
+    setEqn20*SnowThresh :354-368). Both dialects render with the SAME
+    knob values, so the hash match proves the knob reaches the snow
+    test identically in engine and oracle; the knob's LIVENESS (counts
+    differ from the defaults) is pinned by
+    tests/test_config_knobs.py::test_snow_thresh_sweep_matches_oracle."""
+    ctes = _ctes(d, "pass1", nir_snow_thresh=nir, green_snow_thresh=green)
+    return f"""{ctes}
+SELECT cell_id, count(*) AS n_docs,
+  cast(sum(case when snow then 1 else 0 end) as bigint) AS n_snow,
+  cast(sum(case when pcp then 1 else 0 end) as bigint) AS n_pcp,
+  cast(sum(case when clear_land then 1 else 0 end) as bigint) AS n_clear_land
+FROM pass1 GROUP BY cell_id"""
 
 
 def q_pass1_cell_counts_l47(d: str) -> str:

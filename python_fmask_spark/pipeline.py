@@ -36,15 +36,20 @@ _KERNEL_COLS = ("url", "cell_id", "r", "c", "nir", "bt",
 
 def pass1_sql_text(table: str = "documents", sensor: str = "LANDSAT8",
                    s2_offsets: dict[str, int] | None = None,
-                   tile_meta=None) -> str:
+                   tile_meta=None,
+                   nir_snow_thresh: float | None = None,
+                   green_snow_thresh: float | None = None) -> str:
     """The rendered pass-1 SQL (features + pass1 CTEs). Also serves as
     the logic component of resumable-stage fingerprints: any change to
-    the derive formulas, sensor dispatch, or offsets changes this text
-    and therefore invalidates StageRunner stage tables."""
+    the derive formulas, sensor dispatch, offsets, or the Eqn-20 snow
+    knobs changes this text and therefore invalidates StageRunner stage
+    tables."""
     p1_ctes = ",\n".join([
         derive.features_sql(SPARK, derive.documents_wide_sql(SPARK, table),
                             tile_meta=tile_meta),
-        derive.pass1_sql(SPARK, sensor=sensor, s2_offsets=s2_offsets),
+        derive.pass1_sql(SPARK, sensor=sensor, s2_offsets=s2_offsets,
+                         nir_snow_thresh=nir_snow_thresh,
+                         green_snow_thresh=green_snow_thresh),
     ])
     return f"WITH {p1_ctes} SELECT * FROM pass1"
 
@@ -107,12 +112,26 @@ def invalidate_pass1_cache(spark: SparkSession) -> None:
             pass
 
 
+def _snow_skey(nir_snow_thresh: float | None,
+               green_snow_thresh: float | None) -> str:
+    """Cache-key/view-name suffix for non-default Eqn-20 snow knobs: a
+    knobbed pass-1 leaf must never alias the default one (the snow
+    column differs row-by-row)."""
+    if nir_snow_thresh is None and green_snow_thresh is None:
+        return ""
+    tag = f"_snow{nir_snow_thresh}x{green_snow_thresh}"
+    return (tag.replace(".", "p").replace("-", "m")
+            .replace("None", "d"))
+
+
 def materialize_pass1(spark: SparkSession, table: str = "documents",
                       reuse: bool = True, runner=None,
                       sensor: str = "LANDSAT8",
                       s2_offsets: dict[str, int] | None = None,
                       s2_cdi: bool = False,
-                      tile_meta=None) -> str:
+                      tile_meta=None,
+                      nir_snow_thresh: float | None = None,
+                      green_snow_thresh: float | None = None) -> str:
     """Materialize pass 1 behind a leaf view and return the view name.
 
     Catalyst inlines deterministic CTEs per reference; the thresholds +
@@ -136,7 +155,8 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
     forms register the same leaf view name, so every downstream plan is
     identical either way."""
     skey = sensor + ("_cdi" if s2_cdi else "") \
-        + ("_grid" if tile_meta is not None else "")
+        + ("_grid" if tile_meta is not None else "") \
+        + _snow_skey(nir_snow_thresh, green_snow_thresh)
     suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_pass1_mat_{table}{suffix}"
     cache = _PASS1_CACHE.setdefault(spark, {})
@@ -160,7 +180,9 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
         ensure_package_on_executors(spark)
         raw_view = materialize_pass1(spark, table, reuse=reuse,
                                      sensor=sensor, s2_offsets=s2_offsets,
-                                     tile_meta=tile_meta)
+                                     tile_meta=tile_meta,
+                                     nir_snow_thresh=nir_snow_thresh,
+                                     green_snow_thresh=green_snow_thresh)
         kout = (spark.sql(
             f"SELECT {_cdi_src_select(offs)} FROM {raw_view}")
             .groupBy("cell_id").applyInPandas(
@@ -177,7 +199,9 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
         cache[(table, skey)] = view
         return view
     sql = pass1_sql_text(table, sensor=sensor, s2_offsets=s2_offsets,
-                         tile_meta=tile_meta)
+                         tile_meta=tile_meta,
+                         nir_snow_thresh=nir_snow_thresh,
+                         green_snow_thresh=green_snow_thresh)
     if runner is not None:
         fp = stage_fingerprint(spark, f"{table}:{sql}")
         p1 = runner.run("pass1", fp, lambda: spark.sql(sql))
@@ -228,13 +252,16 @@ def materialize_thresholds(spark: SparkSession, table: str = "documents",
                            sensor: str = "LANDSAT8",
                            s2_offsets: dict[str, int] | None = None,
                            s2_cdi: bool = False,
-                           tile_meta=None) -> str:
+                           tile_meta=None,
+                           nir_snow_thresh: float | None = None,
+                           green_snow_thresh: float | None = None) -> str:
     """Materialize the per-cell thresholds dim (rows == cells, tiny)
     behind a leaf view, session-cached like pass 1. Every tail consumer
     (pass2/pass3/dims) then references a leaf instead of re-analyzing
     the 6-window-function thresholds CTE."""
     skey = sensor + ("_cdi" if s2_cdi else "") \
-        + ("_grid" if tile_meta is not None else "")
+        + ("_grid" if tile_meta is not None else "") \
+        + _snow_skey(nir_snow_thresh, green_snow_thresh)
     suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_thr_mat_{table}{suffix}"
     cache = _PASS1_CACHE.setdefault(spark, {})
@@ -243,7 +270,9 @@ def materialize_thresholds(spark: SparkSession, table: str = "documents",
         return view
     p1view = materialize_pass1(spark, table, sensor=sensor,
                                s2_offsets=s2_offsets, s2_cdi=s2_cdi,
-                               tile_meta=tile_meta)
+                               tile_meta=tile_meta,
+                               nir_snow_thresh=nir_snow_thresh,
+                               green_snow_thresh=green_snow_thresh)
     sql = (f"WITH pass1 AS (SELECT * FROM {p1view}), "
            f"{derive.thresholds_sql(SPARK, sensor=sensor)} "
            f"SELECT * FROM thresholds")
@@ -256,11 +285,17 @@ def pass3_df(spark: SparkSession, table: str = "documents",
              sensor: str = "LANDSAT8",
              s2_offsets: dict[str, int] | None = None,
              s2_cdi: bool = False,
-             eqn17_cloud_prob_thresh: float | None = None) -> DataFrame:
+             eqn17_cloud_prob_thresh: float | None = None,
+             nir_snow_thresh: float | None = None,
+             green_snow_thresh: float | None = None) -> DataFrame:
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                             nir_snow_thresh=nir_snow_thresh,
+                             green_snow_thresh=green_snow_thresh)
     thr = materialize_thresholds(spark, table, sensor=sensor,
-                                 s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+                                 s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                                 nir_snow_thresh=nir_snow_thresh,
+                                 green_snow_thresh=green_snow_thresh)
     cols = ", ".join(_KERNEL_COLS)
     return spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
@@ -294,7 +329,8 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
     # point Spark recomputes the whole pass-1..3 derivation per consumer.
     p3 = pass3_df(spark, table, sensor=sensor, s2_offsets=s2_offsets,
                   s2_cdi=s2_cdi,
-                  eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh
+                  eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh,
+                  **params.snow_kwargs()
                   ).select(
         "url", "cell_id", "r", "c", "nullmask",
         "water_test", "snow", "cloud_raw").localCheckpoint()
@@ -326,8 +362,10 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
             when snow then {4}
             when water_test then {5}
             else {1} end as int)""").alias("fmask_class"))
+    # same snow knobs -> reuses the leaf p3 already materialized
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets, s2_cdi=s2_cdi)
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                             **params.snow_kwargs())
     ident = spark.sql(
         f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
             FROM {view}""")
@@ -443,7 +481,10 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
                    s2_offsets: dict[str, int] | None = None,
                    s2_cdi: bool = False,
                    eqn17_cloud_prob_thresh: float | None = None,
-                   tile_meta=None) -> tuple[DataFrame, DataFrame]:
+                   tile_meta=None,
+                   nir_snow_thresh: float | None = None,
+                   green_snow_thresh: float | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
     """The slim scene-kernel exchange: (pixel frame, per-cell dim frame).
 
     Pixel frame = 8 narrow fields (no url, booleans packed into one
@@ -456,10 +497,14 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
 
     view = materialize_pass1(spark, table, sensor=sensor,
                              s2_offsets=s2_offsets, s2_cdi=s2_cdi,
-                             tile_meta=tile_meta)
+                             tile_meta=tile_meta,
+                             nir_snow_thresh=nir_snow_thresh,
+                             green_snow_thresh=green_snow_thresh)
     thr = materialize_thresholds(spark, table, sensor=sensor,
                                  s2_offsets=s2_offsets, s2_cdi=s2_cdi,
-                                 tile_meta=tile_meta)
+                                 tile_meta=tile_meta,
+                                 nir_snow_thresh=nir_snow_thresh,
+                                 green_snow_thresh=green_snow_thresh)
     px = spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3",
         sensor=sensor, thresholds_view=thr,
@@ -513,10 +558,10 @@ def classify(spark: SparkSession, table: str = "documents",
     px, dims = scene_exchange(
         spark, table, sensor=sensor, s2_offsets=s2_offsets, s2_cdi=s2_cdi,
         eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh,
-        tile_meta=tile_meta)
+        tile_meta=tile_meta, **params.snow_kwargs())
     view = materialize_pass1(spark, table, sensor=sensor,
                              s2_offsets=s2_offsets, s2_cdi=s2_cdi,
-                             tile_meta=tile_meta)
+                             tile_meta=tile_meta, **params.snow_kwargs())
     ident = spark.sql(
         f"""SELECT cell_id, r, c, url, sha2(text, 256) AS text_sha256
             FROM {view}""")
@@ -542,7 +587,8 @@ def classify_auto(spark: SparkSession, table: str = "documents",
                   p3: DataFrame | None = None,
                   digests: DataFrame | None = None,
                   sensor: str = "LANDSAT8",
-                  s2_offsets: dict[str, int] | None = None) -> DataFrame:
+                  s2_offsets: dict[str, int] | None = None,
+                  tile_meta=None) -> DataFrame:
     """Cost-based per-cell dispatch between the whole-cell kernel and
     the clump-parallel distributed path (one entry point; mirrors RIOS
     picking the window grain, fmask/fmask.py:234).
@@ -598,22 +644,24 @@ def classify_auto(spark: SparkSession, table: str = "documents",
         return small_out.unionByName(big_out.select(*small_out.columns))
 
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets)
+                             s2_offsets=s2_offsets, tile_meta=tile_meta,
+                             **params.snow_kwargs())
     big_cells = (spark.table(view).groupBy("cell_id").count()
                  .filter(F.col("count") >= row_threshold)
                  .select("cell_id"))
     n_big = big_cells.count()
     if n_big == 0:
         return classify(spark, table, params, sensor=sensor,
-                        s2_offsets=s2_offsets)
+                        s2_offsets=s2_offsets, tile_meta=tile_meta)
     big = big_cells.localCheckpoint()
 
     small_out = classify(spark, table, params, cells=big,
                          cells_mode="anti", sensor=sensor,
-                         s2_offsets=s2_offsets)
+                         s2_offsets=s2_offsets, tile_meta=tile_meta)
 
     thr = materialize_thresholds(spark, table, sensor=sensor,
-                                 s2_offsets=s2_offsets)
+                                 s2_offsets=s2_offsets, tile_meta=tile_meta,
+                                 **params.snow_kwargs())
     cols = ", ".join((*_KERNEL_COLS, "cell_rows"))
     p3_big = (spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
@@ -624,5 +672,6 @@ def classify_auto(spark: SparkSession, table: str = "documents",
     dig_big = text_digests(spark, table)
     big_out = classify_distributed(spark, table, params,
                                    p3=p3_big, digests=dig_big,
-                                   sensor=sensor, s2_offsets=s2_offsets)
+                                   sensor=sensor, s2_offsets=s2_offsets,
+                                   tile_meta=tile_meta)
     return small_out.unionByName(big_out.select(*small_out.columns))

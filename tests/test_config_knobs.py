@@ -83,3 +83,90 @@ def test_strict_preset_mirrors_reference(spark, sf_oracle):
     assert n_strict < n_default  # no cloud dilation under strict
     # overrides compose on top of the preset
     assert FmaskParams.strict(min_cloud_size_px=4).min_cloud_size_px == 4
+
+
+def _snow_counts(spark, nir=None, green=None):
+    view = pipeline.materialize_pass1(spark, nir_snow_thresh=nir,
+                                      green_snow_thresh=green)
+    df = spark.sql(f"""SELECT cell_id,
+        cast(sum(case when snow then 1 else 0 end) as bigint) AS n_snow
+        FROM {view} GROUP BY cell_id""")
+    return {r.cell_id: r.n_snow for r in df.collect()}
+
+
+def test_snow_thresh_sweep_matches_oracle(spark, sf_oracle):
+    """Sweep the Eqn-20 snow knobs (--nirsnowthreshold /
+    --greensnowthreshold, fmask/cmdline/usgsLandsatStacked.py:89-93):
+    Spark matches the DuckDB oracle rendered with the SAME knobs at
+    each point, and raising the floors monotonically shrinks the snow
+    layer."""
+    register_views(spark, sf_oracle)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(sf_oracle, 'documents.parquet')}')")
+    totals = {}
+    for nir, green in ((None, None), (0.25, 0.2)):
+        got = _snow_counts(spark, nir, green)
+        ctes = oracle._ctes(DUCKDB, "pass1", nir_snow_thresh=nir,
+                            green_snow_thresh=green)
+        want = dict(con.execute(f"""{ctes}
+            SELECT cell_id,
+              cast(sum(case when snow then 1 else 0 end) as bigint)
+            FROM pass1 GROUP BY cell_id""").fetchall())
+        assert got == want, f"snow knobs ({nir},{green})"
+        totals[(nir, green)] = sum(got.values())
+    assert totals[(None, None)] > 0, "fixture must contain snow pixels"
+    assert totals[(0.25, 0.2)] < totals[(None, None)]
+
+
+def test_snow_thresh_flows_into_classification(spark, sf_oracle):
+    """An impossible snow floor (reflectance > 1) must zero class 4 in
+    the interim classification end-to-end, while defaults keep it; a
+    non-default knob gets its OWN pass-1 leaf (no cache aliasing)."""
+    register_views(spark, sf_oracle)
+
+    def n_snow_class(params):
+        df = pipeline.interim_class_kernel(spark, params=params)
+        return df.filter("fmask_class = 4").count()
+
+    base = n_snow_class(FmaskParams())
+    none = n_snow_class(FmaskParams(nir_snow_thresh=2.0,
+                                    green_snow_thresh=2.0))
+    assert base > 0 and none == 0
+    # default-valued explicit knobs normalize to the shared leaf
+    assert FmaskParams().snow_kwargs() == {"nir_snow_thresh": None,
+                                           "green_snow_thresh": None}
+    v_def = pipeline.materialize_pass1(spark)
+    v_knob = pipeline.materialize_pass1(spark, nir_snow_thresh=2.0,
+                                        green_snow_thresh=2.0)
+    assert v_def != v_knob
+
+
+def test_cli_params_mirror_reference_conversions():
+    """scripts/classify_job.py applies the reference CLI's unit
+    conversions (usgsLandsatStacked.py:255-263): percentage /100,
+    metres -> pixels via x_res; --strict preserves the preset buffers
+    unless explicitly overridden."""
+    sys.path.insert(0, "/root/repo/scripts")
+    from classify_job import get_cmdargs, params_from_cmdargs
+
+    p = params_from_cmdargs(get_cmdargs(
+        ["sf", "--cloudprobthreshold", "22.5",
+         "--cloudbufferdistance", "150", "--shadowbufferdistance", "300",
+         "--nirsnowthreshold", "0.13", "--greensnowthreshold", "0.12",
+         "--mincloudsize", "8"]))
+    assert p.eqn17_cloud_prob_thresh == 0.225
+    assert p.cloud_buffer_px == int(150 / p.x_res)
+    assert p.shadow_buffer_px == int(300 / p.x_res)
+    assert (p.nir_snow_thresh, p.green_snow_thresh) == (0.13, 0.12)
+    assert p.min_cloud_size_px == 8
+
+    strict = params_from_cmdargs(get_cmdargs(["sf", "--strict"]))
+    assert (strict.cloud_buffer_px, strict.shadow_buffer_px) == (0, 3)
+    over = params_from_cmdargs(get_cmdargs(
+        ["sf", "--strict", "--cloudbufferdistance", "150"]))
+    assert over.cloud_buffer_px == int(150 / over.x_res)
+    assert over.shadow_buffer_px == 3
+
+    dflt = params_from_cmdargs(get_cmdargs(["sf"]))
+    assert dflt == FmaskParams()
