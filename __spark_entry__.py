@@ -295,6 +295,46 @@ def _fmask_final_class_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cloud_id", "cloud_height_du", "text_sha256")
 
 
+def _fmask_final_class_runner(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Distributed classify routed through StageRunner STAGE TABLES
+    (SURVEY S12, the reference's keepIntermediates temp-raster
+    lifecycle, fmask/fmask.py:206-216): the first invocation
+    materializes every stage barrier as a fingerprinted parquet table
+    + lineage row in a fresh workdir; a second invocation over the
+    SAME workdir resumes (every stage read back, nothing recomputed)
+    and its result — the frame returned here — is checked against the
+    same independent-replay fixture as fmask_final_class_dist. Green
+    therefore proves staged == resumed == whole-scene == independent
+    oracle. The resume path itself (marker validation, torn-tail
+    recovery, param-change invalidation) is pinned by
+    tests/test_lineage.py."""
+    import shutil
+    import tempfile
+
+    from python_fmask_spark.operators.scene_dist import classify_distributed
+    from python_fmask_spark.plans.lineage import StageRunner
+
+    register_views(spark, sf_dir)
+    wd = tempfile.mkdtemp(prefix="fmask_stage_")
+    try:
+        cols = ("url", "cell_id", "r", "c", "fmask_class",
+                "cloud_id", "cloud_height_du", "text_sha256")
+        first = classify_distributed(
+            spark, runner=StageRunner(spark, wd, run_id="cold"))
+        n_first = first.count()
+        resumed = classify_distributed(
+            spark, runner=StageRunner(spark, wd, run_id="resume"))
+        out = resumed.selectExpr(*cols)
+        # the resumed run must reproduce the cold run exactly; collect
+        # while the stage tables still exist, then clean the workdir
+        assert out.count() == n_first, "resume changed the row count"
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return out
+
+
 def _fmask_final_class_s2_cdi(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """FULL shadow-chain classify with the CDI displacement test
@@ -716,9 +756,15 @@ _BOARD_ORDER: tuple[str, ...] = (
     # the sole driver evidence for its SURVEY id, while the quality
     # family already has text_quality in-record and the snow knob's
     # liveness + oracle-parity sweep is pinned by test_config_knobs;
-    # both are pytest- plus re-drive-covered ----
+    # both are pytest- plus re-drive-covered. fmask_final_class_runner
+    # (also NEW, round 5) gives S12's StageRunner lifecycle an
+    # oracle-backed board row; it tails because fmask_final_class_dist
+    # (in-record) already proves the same pixels through the same
+    # pipeline, and the staged/resume machinery is pinned by
+    # tests/test_lineage.py ----
     "text_ref_likelihood",
     "pass1_snow_knob",
+    "fmask_final_class_runner",
     "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",
@@ -764,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cloud_objects"] = _cloud_objects
     # round-3 surfaces: distributed classify, sink round-trip, streaming
     out["fmask_final_class_dist"] = _fmask_final_class_dist
+    out["fmask_final_class_runner"] = _fmask_final_class_runner
     out["fmask_final_class_auto"] = _fmask_final_class_auto
     out["fmask_final_class_s2"] = _fmask_final_class_s2
     out["fmask_final_class_s2_grid"] = _fmask_final_class_s2_grid
@@ -817,6 +864,8 @@ FROM read_parquet('{_FIXTURES}/shadow_oracle_fill.parquet')"""
     # distributed classify: SAME independent-replay fixture as the
     # whole-scene path — green proves distributed == whole-scene
     out["fmask_final_class_dist"] = out["fmask_final_class"]
+    # StageRunner-staged + resumed distributed classify, same fixture
+    out["fmask_final_class_runner"] = out["fmask_final_class"]
     # cost-based dispatch: mixed whole-cell + distributed, same fixture
     out["fmask_final_class_auto"] = out["fmask_final_class"]
     # Sentinel-2 no-thermal regime, own independent-replay fixture
