@@ -472,6 +472,32 @@ def _fmask_final_class_dist_s2(spark: SparkSession, sf_dir: str
                           "cloud_id", "cloud_height_du", "text_sha256")
 
 
+def _fmask_final_class_dist_s2_cdi(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Clump-parallel distributed classify with the CDI displacement
+    test composed into pass 1 (--parallaxtest on the distributed
+    path): the distributed stages consume the CDI-modified pass-1
+    leaf exactly as the whole-cell path does. Checked against the
+    SAME S2+CDI independent-replay fixture as fmask_final_class_s2_cdi
+    (pcp_i carries the composed PCP into the hash) — green proves
+    distributed == whole-cell == independent oracle under the
+    composed-CDI no-thermal regime."""
+    from python_fmask_spark.operators.scene_dist import classify_distributed
+    register_views(spark, sf_dir)
+    out = classify_distributed(spark, sensor="SENTINEL2",
+                               s2_offsets=oracle.S2_ZERO_OFFSETS,
+                               s2_cdi=True)
+    leaf = pipeline.materialize_pass1(
+        spark, sensor="SENTINEL2", s2_offsets=oracle.S2_ZERO_OFFSETS,
+        s2_cdi=True)
+    p1 = spark.sql(
+        f"SELECT cell_id, r, c, cast(pcp as int) AS pcp_i FROM {leaf}")
+    return (out.join(p1, ["cell_id", "r", "c"])
+            .selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                        "cloud_id", "cloud_height_du", "text_sha256",
+                        "pcp_i"))
+
+
 def _fmask_final_class_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based dispatch (pipeline.classify_auto): cells below the
     row threshold run the whole-cell kernel, cells at/above it run the
@@ -765,6 +791,11 @@ _BOARD_ORDER: tuple[str, ...] = (
     "text_ref_likelihood",
     "pass1_snow_knob",
     "fmask_final_class_runner",
+    # distributed x CDI cross-regime (NEW, round 5): tails because the
+    # in-record rows already prove distributed==whole-cell (dist_s2)
+    # and CDI-composed==oracle (s2_cdi) separately; this row closes
+    # the cross product for --parallaxtest --mode distributed
+    "fmask_final_class_dist_s2_cdi",
     "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",
@@ -818,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_interim_class_s2_cdi"] = _fmask_interim_class_s2_cdi
     out["fmask_final_class_s2_cdi"] = _fmask_final_class_s2_cdi
     out["fmask_final_class_dist_s2"] = _fmask_final_class_dist_s2
+    out["fmask_final_class_dist_s2_cdi"] = _fmask_final_class_dist_s2_cdi
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
     out["stream_dedup_first"] = _stream_dedup_first
@@ -892,6 +924,8 @@ FROM read_parquet('{_FIXTURES}/shadow_oracle_final_l47.parquet')"""
 SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
        text_sha256, pcp_i
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2_cdi.parquet')"""
+    # distributed + CDI composed: same fixture as the whole-cell row
+    out["fmask_final_class_dist_s2_cdi"] = out["fmask_final_class_s2_cdi"]
     out["mask_sink_roundtrip"] = _mask_sink_oracle()
     out["stream_pass1_counts"] = _stream_pass1_oracle()
     out["stream_dedup_first"] = _stream_dedup_first_oracle()

@@ -277,7 +277,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
                          runner=None,
                          sensor: str = "LANDSAT8",
                          s2_offsets: dict[str, int] | None = None,
-                         tile_meta=None) -> DataFrame:
+                         tile_meta=None,
+                         s2_cdi: bool = False) -> DataFrame:
     """Full classification with bounded task grains (see module doc).
     Returns the same schema as pipeline.classify.
 
@@ -314,7 +315,7 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
     if runner is not None:
         import dataclasses
 
-        fp_logic = [f"{table}:{sensor}:distv3",
+        fp_logic = [f"{table}:{sensor}:distv3:cdi={s2_cdi}",
                     repr(dataclasses.astuple(params)),
                     repr(sorted((s2_offsets or {}).items()))]
         if external_p3:
@@ -342,11 +343,13 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         view = pipeline.materialize_pass1(spark, table, runner=runner,
                                           sensor=sensor,
                                           s2_offsets=s2_offsets,
+                                          s2_cdi=s2_cdi,
                                           tile_meta=tile_meta,
                                           **params.snow_kwargs())
         thr = (None if runner is not None else
                pipeline.materialize_thresholds(spark, table, sensor=sensor,
                                                s2_offsets=s2_offsets,
+                                               s2_cdi=s2_cdi,
                                                tile_meta=tile_meta,
                                                **params.snow_kwargs()))
         cols = ", ".join((*pipeline._KERNEL_COLS, "cell_rows"))

@@ -588,7 +588,8 @@ def classify_auto(spark: SparkSession, table: str = "documents",
                   digests: DataFrame | None = None,
                   sensor: str = "LANDSAT8",
                   s2_offsets: dict[str, int] | None = None,
-                  tile_meta=None) -> DataFrame:
+                  tile_meta=None,
+                  s2_cdi: bool = False) -> DataFrame:
     """Cost-based per-cell dispatch between the whole-cell kernel and
     the clump-parallel distributed path (one entry point; mirrors RIOS
     picking the window grain, fmask/fmask.py:234).
@@ -644,7 +645,8 @@ def classify_auto(spark: SparkSession, table: str = "documents",
         return small_out.unionByName(big_out.select(*small_out.columns))
 
     view = materialize_pass1(spark, table, sensor=sensor,
-                             s2_offsets=s2_offsets, tile_meta=tile_meta,
+                             s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                             tile_meta=tile_meta,
                              **params.snow_kwargs())
     big_cells = (spark.table(view).groupBy("cell_id").count()
                  .filter(F.col("count") >= row_threshold)
@@ -652,15 +654,18 @@ def classify_auto(spark: SparkSession, table: str = "documents",
     n_big = big_cells.count()
     if n_big == 0:
         return classify(spark, table, params, sensor=sensor,
-                        s2_offsets=s2_offsets, tile_meta=tile_meta)
+                        s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                        tile_meta=tile_meta)
     big = big_cells.localCheckpoint()
 
     small_out = classify(spark, table, params, cells=big,
                          cells_mode="anti", sensor=sensor,
-                         s2_offsets=s2_offsets, tile_meta=tile_meta)
+                         s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                         tile_meta=tile_meta)
 
     thr = materialize_thresholds(spark, table, sensor=sensor,
-                                 s2_offsets=s2_offsets, tile_meta=tile_meta,
+                                 s2_offsets=s2_offsets, s2_cdi=s2_cdi,
+                                 tile_meta=tile_meta,
                                  **params.snow_kwargs())
     cols = ", ".join((*_KERNEL_COLS, "cell_rows"))
     p3_big = (spark.sql(tail_sql_from_pass1(
@@ -673,5 +678,5 @@ def classify_auto(spark: SparkSession, table: str = "documents",
     big_out = classify_distributed(spark, table, params,
                                    p3=p3_big, digests=dig_big,
                                    sensor=sensor, s2_offsets=s2_offsets,
-                                   tile_meta=tile_meta)
+                                   tile_meta=tile_meta, s2_cdi=s2_cdi)
     return small_out.unionByName(big_out.select(*small_out.columns))

@@ -60,6 +60,13 @@ def get_cmdargs(argv=None):
                         "sun/view angle grids replace the synthetic "
                         "angle stack via the bilinear grid->pixel "
                         "lookup (sentinel2makeAnglesImage.py:95-123)")
+    p.add_argument("--parallaxtest", action="store_true",
+                   help="SENTINEL2: use the parallax (CDI displacement) "
+                        "test to mask out false cloud from bright "
+                        "surfaces (Frantz 2018) — composed into pass 1 "
+                        "(setSen2displacementTest, fmask/config.py:"
+                        "388-394; sentinel2Stacked.py:112-114); works "
+                        "in all three --mode paths")
     p.add_argument("--product-xml", default="",
                    help="SENTINEL2: product MTD_MSIL1C.xml — supplies "
                         "the MANDATORY radiometric offsets "
@@ -155,8 +162,11 @@ def main() -> None:
             s2_offsets = oracle.S2_ZERO_OFFSETS
         if cmdargs.granule_xml:
             tile_meta = sen2meta.Sen2TileMeta.from_file(cmdargs.granule_xml)
+    if cmdargs.parallaxtest and cmdargs.sensor != "SENTINEL2":
+        # reference gates the CDI test to S2 (sentinel2Stacked only)
+        raise SystemExit("--parallaxtest requires --sensor SENTINEL2")
     kw = dict(params=params, sensor=cmdargs.sensor, s2_offsets=s2_offsets,
-              tile_meta=tile_meta)
+              tile_meta=tile_meta, s2_cdi=cmdargs.parallaxtest)
     if cmdargs.mode == "auto":
         out = pipeline.classify_auto(spark, **kw)
     elif cmdargs.mode == "distributed":
@@ -167,7 +177,8 @@ def main() -> None:
         out = classify_distributed(spark, "documents", params,
                                    sensor=cmdargs.sensor,
                                    s2_offsets=s2_offsets, runner=runner,
-                                   tile_meta=tile_meta)
+                                   tile_meta=tile_meta,
+                                   s2_cdi=cmdargs.parallaxtest)
     else:
         out = pipeline.classify(spark, **kw)
     sink_fmt = ""

@@ -170,3 +170,16 @@ def test_cli_params_mirror_reference_conversions():
 
     dflt = params_from_cmdargs(get_cmdargs(["sf"]))
     assert dflt == FmaskParams()
+
+
+def test_parallaxtest_cli_flag():
+    """--parallaxtest maps to the engine's s2_cdi composition flag and
+    is gated to SENTINEL2 like the reference (the flag exists only on
+    sentinel2Stacked.py:112-114); argparse carries it mode-agnostic."""
+    sys.path.insert(0, "/root/repo/scripts")
+    from classify_job import get_cmdargs
+
+    assert get_cmdargs(["sf"]).parallaxtest is False
+    args = get_cmdargs(["sf", "--sensor", "SENTINEL2", "--parallaxtest",
+                        "--mode", "distributed"])
+    assert args.parallaxtest is True and args.mode == "distributed"

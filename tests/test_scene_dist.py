@@ -195,3 +195,34 @@ def test_distributed_l47_matches_scene_kernel(spark, sf_small):
     diffs = {u: (whole[u], dist[u]) for u in whole if whole[u] != dist[u]}
     assert not diffs, f"{len(diffs)} mismatching urls, e.g. " \
         f"{list(diffs.items())[:3]}"
+
+
+def test_distributed_s2_cdi_matches_scene_kernel(spark, sf_small):
+    """--parallaxtest on the distributed path: classify_distributed
+    (sensor=SENTINEL2, s2_cdi=True) consumes the CDI-modified pass-1
+    leaf (Frantz 2018 displacement test composed into pass 1,
+    fmask/fmask.py:395-412) and must match pipeline.classify's
+    composed-CDI output bit-for-bit, completing the regime x path
+    matrix: {L8, S2, S2+CDI, L47} x {whole-cell, distributed}. The
+    CDI filter must also be LIVE on this fixture (some PCP pixel
+    flips vs plain S2), or the test would pass vacuously."""
+    from python_fmask_spark import oracle
+
+    register_views(spark, sf_small)
+    offs = oracle.S2_ZERO_OFFSETS
+    whole = _canon(pipeline.classify(spark, sensor="SENTINEL2",
+                                     s2_offsets=offs, s2_cdi=True))
+    dist = _canon(classify_distributed(spark, sensor="SENTINEL2",
+                                       s2_offsets=offs, s2_cdi=True))
+    assert whole.keys() == dist.keys()
+    diffs = {u: (whole[u], dist[u]) for u in whole if whole[u] != dist[u]}
+    assert not diffs, f"{len(diffs)} mismatching urls, e.g. " \
+        f"{list(diffs.items())[:3]}"
+    v_raw = pipeline.materialize_pass1(spark, sensor="SENTINEL2",
+                                       s2_offsets=offs)
+    v_cdi = pipeline.materialize_pass1(spark, sensor="SENTINEL2",
+                                       s2_offsets=offs, s2_cdi=True)
+    n_flip = spark.sql(
+        f"""SELECT count(*) AS n FROM {v_raw} a JOIN {v_cdi} b
+            USING (cell_id, r, c) WHERE a.pcp <> b.pcp""").first().n
+    assert n_flip > 0, "CDI filter inert on this fixture"
