@@ -84,6 +84,12 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     # Eqn-20 snow knobs rendered into BOTH dialects (config surface,
     # --nirsnowthreshold/--greensnowthreshold; scripts/classify_job.py)
     "pass1_snow_knob": oracle.q_pass1_snow_knob,
+    # Eqn-17 constant at a NON-DEFAULT value (--cloudprobthreshold 30
+    # -> 0.3; reference conversion /100, usgsLandsatStacked.py:255) in
+    # BOTH dialects: the hash match proves the knob reaches the pass-2
+    # land threshold identically engine- and oracle-side
+    "pass2_probthresh_knob": lambda d: oracle.q_pass2_probs(
+        d, eqn17_cloud_prob_thresh=0.3),
     # pre-04.00 product: zero offsets stated EXPLICITLY (the mandatory
     # offset gate raises when the dict is missing, fmask/fmask.py:137-149)
     "fmask_interim_class_s2": lambda d: oracle.q_fmask_interim_class_s2(
@@ -511,6 +517,21 @@ def _fmask_final_class_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cloud_id", "cloud_height_du", "text_sha256")
 
 
+def _fmask_final_class_auto_s2(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Cost-based dispatch under the NO-THERMAL regime: mixed
+    whole-cell + distributed execution (row_threshold=8 forces both
+    branches at sf0.01) with sensor=SENTINEL2, checked against the
+    SAME S2 independent-replay fixture as fmask_final_class_s2 —
+    closes the auto x sensor cross product."""
+    register_views(spark, sf_dir)
+    out = pipeline.classify_auto(spark, row_threshold=8,
+                                 sensor="SENTINEL2",
+                                 s2_offsets=oracle.S2_ZERO_OFFSETS)
+    return out.selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                          "cloud_id", "cloud_height_du", "text_sha256")
+
+
 def _mask_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S4 on the driver board: write the interim mask through
     write_mask (writeTo + staging swap + RAT dim table), read BOTH
@@ -791,11 +812,14 @@ _BOARD_ORDER: tuple[str, ...] = (
     "text_ref_likelihood",
     "pass1_snow_knob",
     "fmask_final_class_runner",
-    # distributed x CDI cross-regime (NEW, round 5): tails because the
-    # in-record rows already prove distributed==whole-cell (dist_s2)
-    # and CDI-composed==oracle (s2_cdi) separately; this row closes
-    # the cross product for --parallaxtest --mode distributed
+    # distributed x CDI and auto x S2 cross-regimes plus the Eqn-17
+    # knob row (NEW, round 5): tail because the in-record rows already
+    # prove each factor separately; these close the cross products for
+    # --parallaxtest --mode distributed, --mode auto --sensor
+    # SENTINEL2, and --cloudprobthreshold 30
     "fmask_final_class_dist_s2_cdi",
+    "fmask_final_class_auto_s2",
+    "pass2_probthresh_knob",
     "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
     "pass1_cell_counts_l47",
@@ -850,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_s2_cdi"] = _fmask_final_class_s2_cdi
     out["fmask_final_class_dist_s2"] = _fmask_final_class_dist_s2
     out["fmask_final_class_dist_s2_cdi"] = _fmask_final_class_dist_s2_cdi
+    out["fmask_final_class_auto_s2"] = _fmask_final_class_auto_s2
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
     out["stream_dedup_first"] = _stream_dedup_first
@@ -907,6 +932,8 @@ SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2.parquet')"""
     # distributed no-thermal: same S2 fixture as the whole-cell path
     out["fmask_final_class_dist_s2"] = out["fmask_final_class_s2"]
+    # auto dispatch, no-thermal: same S2 fixture
+    out["fmask_final_class_auto_s2"] = out["fmask_final_class_s2"]
     # S2 regime with XML-grid angles wired end-to-end; the *_cdn
     # columns carry the XML grid values into the hash
     out["fmask_final_class_s2_grid"] = f"""
