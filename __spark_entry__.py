@@ -504,6 +504,37 @@ def _fmask_final_class_dist_s2_cdi(spark: SparkSession, sf_dir: str
                         "pcp_i"))
 
 
+def _fmask_final_class_dist_s2_grid(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """Clump-parallel distributed classify consuming the tile-XML
+    angle grids (tile_meta threading on the distributed path): the
+    distributed stages read the SAME grid-angle pass-1 leaf as the
+    whole-cell fmask_final_class_s2_grid row and are checked against
+    the SAME fixture, *_cdn columns included — green proves the XML
+    grid values survive the distributed shadow chain unchanged."""
+    from python_fmask_spark.operators.scene_dist import classify_distributed
+    register_views(spark, sf_dir)
+    meta = _s2_tile_meta()
+    out = classify_distributed(spark, sensor="SENTINEL2",
+                               s2_offsets=oracle.S2_ZERO_OFFSETS,
+                               tile_meta=meta)
+    view = pipeline.materialize_pass1(
+        spark, sensor="SENTINEL2", s2_offsets=oracle.S2_ZERO_OFFSETS,
+        tile_meta=meta)
+    ang = spark.sql(
+        f"""SELECT cell_id, r, c,
+              cast(sat_az_cdn as int) AS sat_az_cdn,
+              cast(sat_zen_cdn as int) AS sat_zen_cdn,
+              cast(sun_az_cdn as int) AS sun_az_cdn,
+              cast(sun_zen_cdn as int) AS sun_zen_cdn
+            FROM {view}""")
+    return (out.join(ang, ["cell_id", "r", "c"])
+            .selectExpr("url", "cell_id", "r", "c", "fmask_class",
+                        "cloud_id", "cloud_height_du", "text_sha256",
+                        "sat_az_cdn", "sat_zen_cdn", "sun_az_cdn",
+                        "sun_zen_cdn"))
+
+
 def _fmask_final_class_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based dispatch (pipeline.classify_auto): cells below the
     row threshold run the whole-cell kernel, cells at/above it run the
@@ -819,6 +850,7 @@ _BOARD_ORDER: tuple[str, ...] = (
     # SENTINEL2, and --cloudprobthreshold 30
     "fmask_final_class_dist_s2_cdi",
     "fmask_final_class_auto_s2",
+    "fmask_final_class_dist_s2_grid",
     "pass2_probthresh_knob",
     "fmask_interim_class_s2_cdi",
     "fmask_interim_class_s2",
@@ -875,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_final_class_dist_s2"] = _fmask_final_class_dist_s2
     out["fmask_final_class_dist_s2_cdi"] = _fmask_final_class_dist_s2_cdi
     out["fmask_final_class_auto_s2"] = _fmask_final_class_auto_s2
+    out["fmask_final_class_dist_s2_grid"] = _fmask_final_class_dist_s2_grid
     out["mask_sink_roundtrip"] = _mask_sink_roundtrip
     out["stream_pass1_counts"] = _stream_pass1
     out["stream_dedup_first"] = _stream_dedup_first
@@ -940,6 +973,8 @@ FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2.parquet')"""
 SELECT url, cell_id, r, c, fmask_class, cloud_id, cloud_height_du,
        text_sha256, sat_az_cdn, sat_zen_cdn, sun_az_cdn, sun_zen_cdn
 FROM read_parquet('{_FIXTURES}/shadow_oracle_final_s2_grid.parquet')"""
+    # distributed + XML grid angles: same fixture as the whole-cell row
+    out["fmask_final_class_dist_s2_grid"] = out["fmask_final_class_s2_grid"]
     # Landsat 4-7 regime (no cirrus, 6-band null, cloudmask3 active),
     # own independent-replay fixture
     out["fmask_final_class_l47"] = f"""
