@@ -331,11 +331,11 @@ def _fmask_final_class_runner(spark: SparkSession, sf_dir: str
         n_first = first.count()
         resumed = classify_distributed(
             spark, runner=StageRunner(spark, wd, run_id="resume"))
-        out = resumed.selectExpr(*cols)
-        # the resumed run must reproduce the cold run exactly; collect
-        # while the stage tables still exist, then clean the workdir
+        # materialize the resumed tail ONCE (checkpoint) while the
+        # stage tables still exist, then the row-count assert is a
+        # cheap count over the checkpointed RDD, and the workdir can go
+        out = resumed.selectExpr(*cols).localCheckpoint()
         assert out.count() == n_first, "resume changed the row count"
-        out = out.localCheckpoint()
     finally:
         shutil.rmtree(wd, ignore_errors=True)
     return out

@@ -121,7 +121,7 @@ def _snow_skey(nir_snow_thresh: float | None,
         return ""
     tag = f"_snow{nir_snow_thresh}x{green_snow_thresh}"
     return (tag.replace(".", "p").replace("-", "m")
-            .replace("None", "d"))
+            .replace("+", "e").replace("None", "d"))
 
 
 def materialize_pass1(spark: SparkSession, table: str = "documents",

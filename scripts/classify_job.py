@@ -107,7 +107,12 @@ def get_cmdargs(argv=None):
                         "paper — no cloud buffer, 3-px shadow buffer "
                         "(fmask/config.py:269; fmask/fmask.py:151-154). "
                         "Explicit buffer flags still override")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.parallaxtest and args.sensor != "SENTINEL2":
+        # reference gates the CDI test to S2 (sentinel2Stacked only);
+        # reject at parse time, before any SparkSession spins up
+        p.error("--parallaxtest requires --sensor SENTINEL2")
+    return args
 
 
 def params_from_cmdargs(cmdargs):
@@ -155,18 +160,20 @@ def main() -> None:
         from python_fmask_spark import sen2meta
 
         if cmdargs.product_xml:
-            zmeta = sen2meta.Sen2ZipfileMeta.from_string(
-                open(cmdargs.product_xml).read())
+            zmeta = sen2meta.Sen2ZipfileMeta.from_file(cmdargs.product_xml)
             s2_offsets = sen2meta.make_ref_offset_dict(zmeta)
         else:
             s2_offsets = oracle.S2_ZERO_OFFSETS
         if cmdargs.granule_xml:
             tile_meta = sen2meta.Sen2TileMeta.from_file(cmdargs.granule_xml)
-    if cmdargs.parallaxtest and cmdargs.sensor != "SENTINEL2":
-        # reference gates the CDI test to S2 (sentinel2Stacked only)
-        raise SystemExit("--parallaxtest requires --sensor SENTINEL2")
     kw = dict(params=params, sensor=cmdargs.sensor, s2_offsets=s2_offsets,
               tile_meta=tile_meta, s2_cdi=cmdargs.parallaxtest)
+    if cmdargs.tempdir and cmdargs.mode != "distributed":
+        # stage-table resume is a distributed-path feature (classify /
+        # classify_auto run stage-free whole-cell kernels); say so
+        # instead of silently dropping the advertised resumability
+        print(f"warning: --tempdir applies only to --mode distributed; "
+              f"ignored for --mode {cmdargs.mode}", file=sys.stderr)
     if cmdargs.mode == "auto":
         out = pipeline.classify_auto(spark, **kw)
     elif cmdargs.mode == "distributed":
@@ -174,11 +181,7 @@ def main() -> None:
             classify_distributed)
         runner = (StageRunner(spark, cmdargs.tempdir, run_id="cli")
                   if cmdargs.tempdir else None)
-        out = classify_distributed(spark, "documents", params,
-                                   sensor=cmdargs.sensor,
-                                   s2_offsets=s2_offsets, runner=runner,
-                                   tile_meta=tile_meta,
-                                   s2_cdi=cmdargs.parallaxtest)
+        out = classify_distributed(spark, "documents", runner=runner, **kw)
     else:
         out = pipeline.classify(spark, **kw)
     sink_fmt = ""

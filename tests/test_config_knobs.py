@@ -172,14 +172,21 @@ def test_cli_params_mirror_reference_conversions():
     assert dflt == FmaskParams()
 
 
-def test_parallaxtest_cli_flag():
+def test_parallaxtest_cli_flag(capsys):
     """--parallaxtest maps to the engine's s2_cdi composition flag and
     is gated to SENTINEL2 like the reference (the flag exists only on
-    sentinel2Stacked.py:112-114); argparse carries it mode-agnostic."""
+    sentinel2Stacked.py:112-114); the gate fires at PARSE time (no
+    SparkSession spin-up before the usage error)."""
     sys.path.insert(0, "/root/repo/scripts")
+    import pytest
+
     from classify_job import get_cmdargs
 
     assert get_cmdargs(["sf"]).parallaxtest is False
     args = get_cmdargs(["sf", "--sensor", "SENTINEL2", "--parallaxtest",
                         "--mode", "distributed"])
     assert args.parallaxtest is True and args.mode == "distributed"
+    with pytest.raises(SystemExit) as ei:
+        get_cmdargs(["sf", "--parallaxtest"])  # default sensor LANDSAT8
+    assert ei.value.code == 2
+    assert "--parallaxtest requires" in capsys.readouterr().err
