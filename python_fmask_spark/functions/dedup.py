@@ -115,6 +115,32 @@ bands AS (
 )""".strip()
 
 
+def _bucket_pairs_spark(src: str, key_cols: str, id_col: str,
+                        out_a: str, out_b: str) -> str:
+    """Spark-only pair generation within equal-key buckets WITHOUT a
+    self-join: group by the bucket key, collect the (small) bucket
+    membership, and explode its ordered pairs. A self-join of ``src``
+    would make Catalyst execute the entire upstream CTE subtree TWICE
+    (deterministic CTEs are inlined per reference — measured in
+    plans/r06/q5_minhash_pairs_before.txt: the full shingle+minhash
+    derivation appears once per join side); the grouped form scans it
+    once. Output pairs are identical to
+    ``a JOIN b ON keys AND a.id < b.id`` because the bucket list is
+    sorted ascending before pair expansion. Scale note: a bucket of
+    k members yields k*(k-1)/2 candidate pairs under EITHER form, so
+    the collected list (k ids) is strictly smaller than the join
+    output it replaces; LSH buckets are near-dup groups, small by
+    construction."""
+    return f"""
+SELECT DISTINCT {out_a}, {out_b} FROM (
+  SELECT sort_array(collect_list({id_col})) AS _us
+  FROM {src} GROUP BY {key_cols}
+  HAVING count(*) > 1
+)
+LATERAL VIEW posexplode(_us) pe AS _i, {out_a}
+LATERAL VIEW explode(slice(_us, _i + 2, size(_us))) ue AS {out_b}""".strip()
+
+
 def q_minhash_pairs(d: str) -> str:
     """Candidate near-duplicate pairs: equal minhash signature in >=1 band.
 
@@ -122,8 +148,19 @@ def q_minhash_pairs(d: str) -> str:
     exchange is redundant under min-aggregation (min over a multiset ==
     min over its set), so the only wide exchange left is the map-side-
     combinable per-url min — ONE row per document on the wire, all
-    {N_HASHES} minhashes as parallel aggregate columns."""
+    {N_HASHES} minhashes as parallel aggregate columns.
+
+    The Spark rendering generates pairs by grouping bands per
+    (band, band_hash) bucket instead of the bands-x-bands self-join:
+    the join form re-executes the whole shingle+minhash subtree once
+    per side (_bucket_pairs_spark docstring); result set is identical.
+    The DuckDB oracle keeps the declarative self-join form."""
     ctes = _minhash_cte(d, distinct_shingles=False)
+    if d == SPARK:
+        pairs = _bucket_pairs_spark(
+            "bands", "band, band_hash", "url",
+            "url_a", "url_b")
+        return f"WITH {ctes}\n{pairs}"
     return f"""
 WITH {ctes}
 SELECT DISTINCT a.url AS url_a, b.url AS url_b

@@ -51,8 +51,66 @@ iv AS (
 )""".strip()
 
 
+def _intvec_wide_cte(d: str) -> str:
+    """Spark-only: quantized int vectors kept as ARRAYS (one row per
+    vector) with the squared norm inline — no posexplode, no per-dim
+    join, no GROUP BY to reassemble. The element values are identical
+    to ``iv``'s (same cast-to-double-then-round expression applied
+    per element), and the integer aggregate sums are order-fixed by the
+    array, so dot products / norms match the exploded form exactly."""
+    assert d == SPARK
+    return """
+vx AS (
+  SELECT vec_id, label, iv,
+    aggregate(iv, cast(0 as bigint), (acc, x) -> acc + x * x) AS nrm
+  FROM (
+    SELECT vec_id, label,
+      transform(embedding,
+                x -> cast(round(cast(x as double) * 1000000) as bigint))
+        AS iv
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND size(embedding) > 0
+  )
+)""".strip()
+
+
+_DOT = "aggregate(zip_with(q.iv, c.iv, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"
+
+
 def q_ann_bruteforce(d: str) -> str:
-    """Exact cosine top-k for the first N_QUERIES vectors (brute force)."""
+    """Exact cosine top-k for the first N_QUERIES vectors (brute force).
+
+    Spark rendering: array-native — ONE pass over the corpus with the
+    (tiny, filter-pushed) query side broadcast; dot product and norms
+    are integer ``aggregate``/``zip_with`` over the quantized array, so
+    no posexplode, no join on the 64-value dimension index, and no
+    (query, cand) reassembly GROUP BY. The before-plan
+    (plans/r06/q6_ann_bruteforce_before.txt) paid 4 parquet scans and
+    3 shuffles for the same arithmetic. Values are bit-identical: the
+    per-element quantization expression is unchanged and integer sums
+    are order-independent. The DuckDB oracle keeps the exploded form."""
+    if d == SPARK:
+        return f"""
+WITH {_intvec_wide_cte(d)},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    {_DOT} AS dot,
+    q.nrm AS qnrm, c.nrm AS cnrm
+  FROM vx q JOIN vx c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id,
+    cast(round(1000000.0 * dot / (sqrt(qnrm) * sqrt(cnrm))) as bigint)
+      AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cast(dot as double) / (sqrt(qnrm) * sqrt(cnrm)) DESC,
+               cand_id) AS rank
+  FROM dots
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}"""
     return f"""
 WITH {_intvec_cte(d)},
 norms AS (

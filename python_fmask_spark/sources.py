@@ -21,8 +21,33 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive input parallelism (guide §2.5 input skew / §6).
+
+    A small input (one parquet file with one row group) yields ONE scan
+    task regardless of split configuration — row groups are the minimum
+    split grain — so every md5-heavy derivation over it runs
+    single-threaded (measured: the q5 shingle scan pinned one core for
+    ~2.7 s while 31 idled). When the scan's split count is below the
+    session's core count, insert one round-robin repartition to fan the
+    derivations out; the shuffle moves only the raw table bytes (~0.6 MB
+    at sf0.1), orders of magnitude cheaper than the serial derivation it
+    unblocks. At scale the condition is false (a 100-TB table has far
+    more splits than cores) and the scan is returned untouched — no
+    shuffle is ever added to a big input."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 0 < n < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _spread_small_scan(
+        spark, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 # session -> identity of the last-registered input. Keyed by a
@@ -74,7 +99,7 @@ def register_views(spark: SparkSession, sf_dir: str,
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def load_documents_wide(spark: SparkSession, sf_dir: str,
