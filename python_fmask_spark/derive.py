@@ -634,6 +634,12 @@ def thresholds_sql(d: str, sensor: str = "LANDSAT8") -> str:
         thermal_guard, thermal_guard_end = "cast(null as bigint) + 0 * (", ")"
     else:
         thermal_guard, thermal_guard_end = "", ""
+    # The four percentile tables are per-cell scalars (rows == cells).
+    # Planned from a stats-free leaf (the materialized pass-1 LogicalRDD)
+    # Spark falls back to SortMergeJoin with an exchange+sort per side;
+    # the hint pins the broadcast at plan time (guide §3.1). DuckDB
+    # rendering unchanged (hint emitted only for Spark).
+    hint = "/*+ BROADCAST(tw, tl, th, b4) */ " if d == SPARK else ""
     return f"""
 wbt_hist AS (
   SELECT cell_id, scaled_bt_bin AS bin, count(*) AS cnt FROM pass1
@@ -652,7 +658,7 @@ lb4_hist AS (
 {scoreatpcnt_cte('lbt_hist', 82.5, 'thigh_t')},
 {scoreatpcnt_cte('lb4_hist', 17.5, 'b4_17_t')},
 thresholds AS (
-  SELECT cells.cell_id,
+  SELECT {hint}cells.cell_id,
     {thermal_guard}tw.v - {C.BT_OFFSET}{thermal_guard_end} AS twater,
     {thermal_guard}tl.v - {C.BT_OFFSET}{thermal_guard_end} AS tlow,
     {thermal_guard}th.v - {C.BT_OFFSET}{thermal_guard_end} AS thigh,
@@ -692,13 +698,20 @@ def pass2_sql(d: str, sensor: str = "LANDSAT8",
     has_cirrus = sensor in ("LANDSAT8", "SENTINEL2")
     cirrus_term = (f"+ p.ref_cirrus / {C.CIRRUS_PROB_RATIO}" if has_cirrus
                    else "+ 0.0")
+    # thresholds / lthr_t / the lprob_hist total are per-cell dims
+    # (rows == cells); broadcast-hint them on the Spark side so the
+    # pixel stream never pays an exchange+sort for these joins
+    # (guide §3.1 — the leaf views are stats-free, so the planner's
+    # default is SortMergeJoin). DuckDB rendering unchanged.
+    hint_t = "/*+ BROADCAST(t) */ " if d == SPARK else ""
+    hint_lt = "/*+ BROADCAST(h, lt) */ " if d == SPARK else ""
     return f"""
 pass2 AS (
   SELECT p.*,
     {quant.format(p='w_cloud_prob')} AS wprob_pcnt,
     {quant.format(p='l_cloud_prob')} AS lprob_pcnt
   FROM (
-    SELECT p.*,
+    SELECT {hint_t}p.*,
       (coalesce((t.twater - p.bt) / 4.0, 1.0)
         * (least(p.ref_swir1, 0.11) / 0.11)
         {cirrus_term}) AS w_cloud_prob,
@@ -718,7 +731,7 @@ lprob_hist AS (
 ),
 {scoreatpcnt_cte('lprob_hist', 82.5, 'lthr_t')},
 landthr AS (
-  SELECT t.cell_id, case
+  SELECT {hint_lt}t.cell_id, case
     when coalesce(h.total, 0) < 0.03 * cast(t.non_null_count as double)
       then {e17}
     else coalesce(cast(lt.v as double) / {C.PROB_SCALE} + {e17},
@@ -742,9 +755,12 @@ def pass3_sql(d: str, sensor: str = "LANDSAT8") -> str:
     cm3 = ("false" if sensor == "SENTINEL2" else
            f"((cast(p.lprob_pcnt as double) / {C.PROB_SCALE}) > 0.99"
            f" AND (NOT p.water_test AND NOT p.nullmask))")
+    # landthr is one row per cell — broadcast on the Spark side
+    # (guide §3.1); DuckDB rendering unchanged.
+    hint = "/*+ BROADCAST(lt) */ " if d == SPARK else ""
     return f"""
 pass3 AS (
-  SELECT p.*,
+  SELECT {hint}p.*,
     (NOT p.nullmask AND (
       (p.pcp AND p.water_test AND (cast(p.wprob_pcnt as double) / {C.PROB_SCALE}) > 0.5)
       OR (p.pcp AND (NOT p.water_test AND NOT p.nullmask)

@@ -327,6 +327,11 @@ def interim_class_kernel(spark: SparkSession, table: str = "documents",
     params = params or FmaskParams()
     # persist: with_halo explodes its input — without a materialization
     # point Spark recomputes the whole pass-1..3 derivation per consumer.
+    # (r6 A/B KEPT this: dropping the checkpoint looked like "one fewer
+    # job" but measured 0.93 s -> 1.5 s/call at sf0.1 — the halo map
+    # stage then carries the whole pass-2/3 tail + dim broadcasts above
+    # a Generate, defeating stage fusion; the narrow 8-column
+    # checkpoint is the faster shape on repeat calls.)
     p3 = pass3_df(spark, table, sensor=sensor, s2_offsets=s2_offsets,
                   s2_cdi=s2_cdi,
                   eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh,
@@ -510,9 +515,11 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
         sensor=sensor, thresholds_view=thr,
         eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh))
     ang = ", ".join(f"first({k}) AS {k}" for k in DIM_COLS[3:])
+    # both sides are per-cell (rows == cells); broadcast the aggregated
+    # angle side so the dim frame needs no exchange+sort (guide §3.1)
     dims = spark.sql(tail_sql_from_pass1(
         view, "thresholds",
-        f"""SELECT t.cell_id,
+        f"""SELECT /*+ BROADCAST(a) */ t.cell_id,
               cast(t.tlow as double) AS g_tlow,
               cast(t.thigh as double) AS g_thigh,
               t.b4_17 AS g_b4_17,

@@ -83,6 +83,16 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin",
                 str(os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false")
                     .strip().lower() in ("1", "true", "yes")).lower())
+        # AQE rewrite of planned SortMergeJoins to shuffled-hash at
+        # runtime (guide §3.1): the classify/interim join-backs on
+        # (cell_id, r, c) are planned from stats-free LogicalRDD leaves,
+        # so preferSortMergeJoin=false alone cannot pick SHJ there. With
+        # the 16 MB advisory partition target every post-shuffle
+        # partition sits far below this threshold, so the rewrite is
+        # safe (the hash build is per-partition); scale deployments
+        # size it alongside the advisory target via env.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "128m"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
