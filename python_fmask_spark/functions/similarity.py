@@ -175,6 +175,40 @@ vbands AS (
 )""".strip()
 
 
+def _bands_wide_cte(d: str, n_planes: int = N_PLANES,
+                    n_bands: int = NEARDUP_BANDS) -> str:
+    """Spark-only: vbands from the array-kept vectors (``vx``) — the
+    hyperplane sign array is built once per plane and the projections
+    are integer ``aggregate``/``zip_with`` dot products, replacing the
+    (vector-row x sign-row) dimension-index equi-join + GROUP BY of the
+    exploded form. Sign values, projections and band values are
+    bit-identical (same md5-derived sign expression per (p, i), integer
+    sums order-independent, same power-of-two band packing)."""
+    assert d == SPARK
+    planes_per_band = n_planes // n_bands
+    # lambda var i shadows nothing; matches the exploded form's i values
+    sgn = _plane_sign(d)
+    return f"""
+nd AS (SELECT max(size(iv)) AS n FROM vx),
+planes AS (
+  SELECT p, transform(sequence(0, n - 1), i -> {sgn}) AS sv
+  FROM nd LATERAL VIEW explode(sequence(0, {n_planes - 1})) t AS p
+),
+dps AS (
+  SELECT v.vec_id, pl.p,
+    aggregate(zip_with(v.iv, slice(pl.sv, 1, size(v.iv)),
+                       (a, b) -> a * b),
+              cast(0 as bigint), (acc, x) -> acc + x) AS dp
+  FROM vx v CROSS JOIN planes pl
+),
+vbands AS (
+  SELECT vec_id, {idiv('p', str(planes_per_band), d)} AS band,
+    cast(sum(case when dp > 0 then power(2, p % {planes_per_band})
+             else 0 end) as int) AS bval
+  FROM dps GROUP BY vec_id, {idiv('p', str(planes_per_band), d)}
+)""".strip()
+
+
 def q_embedding_near_dup(d: str, threshold: float = 0.45,
                          exact: bool = False) -> str:
     """Embedding-cosine near-duplicate pairs via banded LSH candidates +
@@ -191,6 +225,35 @@ def q_embedding_near_dup(d: str, threshold: float = 0.45,
     from the banded hyperplane-sign equi-join on (band, band value) —
     linear in vectors + candidates; the exact integer dot product and
     cosine threshold then run per candidate pair only."""
+    if not exact and d == SPARK:
+        # Array-native single-pass form (see _bands_wide_cte /
+        # q_ann_bruteforce): no posexplode, no dim-index joins, bucket-
+        # grouped pair generation instead of the vbands self-join, both
+        # sides' norms carried inline. Pair set / cosine values are
+        # bit-identical to the exploded rendering the oracle runs.
+        from .dedup import _bucket_pairs_spark
+        pairs = _bucket_pairs_spark("vbands", "band, bval", "vec_id",
+                                    "id_a", "id_b")
+        return f"""
+WITH {_intvec_wide_cte(d)},
+{_bands_wide_cte(d)},
+cand AS (
+{pairs}
+),
+dots AS (
+  SELECT c.id_a, c.id_b,
+    aggregate(zip_with(q.iv, b.iv, (x, y) -> x * y),
+              cast(0 as bigint), (acc, x) -> acc + x) AS dot,
+    q.nrm AS na, b.nrm AS nb
+  FROM cand c
+  JOIN vx q ON q.vec_id = c.id_a
+  JOIN vx b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b,
+  cast(round(1000000.0 * dot / (sqrt(na) * sqrt(nb))) as bigint)
+    AS cosine_micro
+FROM dots
+WHERE cast(dot as double) / (sqrt(na) * sqrt(nb)) >= {threshold}"""
     if exact:
         bands = ""
         cand = """
@@ -391,7 +454,47 @@ def q_ann_lsh(d: str) -> str:
     NEAR vectors (cos >= 0.45, the near-dup regime) collide at ~1.0
     recall even at 4 bands. The plan stays linear in corpus +
     candidates regardless (equi-join on (band, bval), no cross
-    product), and candidate cost falls as real clusters tighten."""
+    product), and candidate cost falls as real clusters tighten.
+
+    Spark rendering (r6): array-native — vbands from integer
+    aggregate/zip_with projections instead of the exploded dim-index
+    joins, candidates by grouping each (band, bval) bucket and crossing
+    its sub-{N_QUERIES} members against the bucket, re-rank carrying
+    both norms inline. Identical rows; the DuckDB oracle keeps the
+    declarative exploded form."""
+    if d == SPARK:
+        return f"""
+WITH {_intvec_wide_cte(d)},
+{_bands_wide_cte(d, ANN_PLANES, ANN_BANDS)},
+cands AS (
+  SELECT DISTINCT query_id, cand_id FROM (
+    SELECT collect_list(vec_id) AS _us
+    FROM vbands GROUP BY band, bval
+  )
+  LATERAL VIEW explode(filter(_us, v -> v < {N_QUERIES})) qe AS query_id
+  LATERAL VIEW explode(_us) ce AS cand_id
+  WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT d.query_id, d.cand_id,
+    cast(round(1000000.0 * d.dot / (sqrt(d.qnrm) * sqrt(d.cnrm)))
+      as bigint) AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY d.query_id
+      ORDER BY cast(d.dot as double) / (sqrt(d.qnrm) * sqrt(d.cnrm)) DESC,
+               d.cand_id) AS rank
+  FROM (
+    SELECT ca.query_id, ca.cand_id,
+      aggregate(zip_with(q.iv, c.iv, (x, y) -> x * y),
+                cast(0 as bigint), (acc, x) -> acc + x) AS dot,
+      q.nrm AS qnrm, c.nrm AS cnrm
+    FROM cands ca
+    JOIN vx q ON q.vec_id = ca.query_id
+    JOIN vx c ON c.vec_id = ca.cand_id
+  ) d
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}"""
     return f"""
 WITH {_intvec_cte(d)},
 {_bands_cte(d, ANN_PLANES, ANN_BANDS)},
