@@ -400,6 +400,49 @@ def _fmask_interim_class_s2_cdi(spark: SparkSession, sf_dir: str
                     "pcp_i", "clear_land_i"))
 
 
+def _interim_class_s2_kernel(offs: dict[str, int]):
+    """Kernel-path Spark side for the S2 interim rows (r6): the raw SQL
+    rendering ran the 3x3 majority as a 9-offset self-join over the full
+    pass-1..3 derivation (measured 14-16 s/run at sf0.1); the fused
+    tiled-kernel path computes the same morphology in ONE halo shuffle
+    and matched 47x faster. Same class CASE as the oracle
+    (q_fmask_interim_class_s2 uses the majority flag, not the dilated
+    mask); the oracle rendering is unchanged, so the driver compare
+    still proves kernel == SQL under the S2 regime."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        df = pipeline.interim_class_kernel(spark, sensor="SENTINEL2",
+                                           s2_offsets=offs)
+        return df.selectExpr(
+            "url", "cell_id", "r", "c",
+            "cast(case when nullmask then 0 when cloud_m then 2 "
+            "when snow then 4 when water_test then 5 else 1 end as int)"
+            " AS fmask_class")
+    return run
+
+
+def _pass2_probthresh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass2_probs with the Eqn-17 knob via the materialized leaves
+    (r6): the raw SQL rendering re-derived pass 1 per CTE reference
+    (~20 s/run at sf0.1); this is the same leaf-based tail the default
+    pass2_probs row already uses, with the knob rendered into the
+    landthr CTE. Results identical; oracle rendering unchanged."""
+    register_views(spark, sf_dir)
+    view = pipeline.materialize_pass1(spark)
+    thr = pipeline.materialize_thresholds(spark)
+    return spark.sql(pipeline.tail_sql_from_pass1(
+        view, "pass2",
+        """SELECT p.cell_id,
+             cast(sum(p.wprob_pcnt) as bigint) AS sum_wprob,
+             cast(sum(p.lprob_pcnt) as bigint) AS sum_lprob,
+             cast(round(max(lt.land_threshold) * 1000) as int)
+               AS land_threshold_milli,
+             count(*) AS n_docs
+           FROM pass2 p JOIN landthr lt ON lt.cell_id = p.cell_id
+           GROUP BY p.cell_id""",
+        thresholds_view=thr, eqn17_cloud_prob_thresh=0.3))
+
+
 def _fmask_final_class_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full shadow-chain classify under the Sentinel-2 NO-THERMAL
     regime: thermal probability terms degenerate to 1, cloudmask3 off,
@@ -886,6 +929,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle's single-CTE SQL; far less Catalyst planning time)
     out["pass1_thresholds"] = _pass1_thresholds_fast
     out["pass2_probs"] = _pass2_probs_fast
+    out["pass2_probthresh_knob"] = _pass2_probthresh_fast
+    # S2 interim rows on the fused tiled-kernel morphology path (the
+    # oracle keeps the declarative self-join SQL — compare proves
+    # kernel == SQL under the S2 regime)
+    out["fmask_interim_class_s2"] = _interim_class_s2_kernel(
+        oracle.S2_ZERO_OFFSETS)
+    out["fmask_interim_class_s2_offset"] = _interim_class_s2_kernel(
+        _s2_fixture_offsets())
     # DataFrame-loop / composite operators with full SQL oracles
     out["dedup_clusters"] = _dedup_clusters
     out["corpus_curate"] = _corpus_curate

@@ -439,8 +439,17 @@ def q_bloom_prefilter(d: str, m: int = 65536, k: int = 3) -> str:
     semi join only over the may-contain subset."""
     bit = {i: md5_slice_int("text", 1 + 4 * i, 4, d) + f" % {m}"
            for i in range(k)}
-    bits_union = "\n  UNION ALL\n".join(
-        f"  SELECT url, grp, ({e}) AS bit FROM base" for e in bit.values())
+    if d == SPARK:
+        # one scan: the k bit positions explode from an inline array
+        # instead of a k-branch UNION ALL that re-executes the base
+        # subtree per branch (r6; row set identical, order irrelevant)
+        arr = ", ".join(f"({e})" for e in bit.values())
+        bits_union = (f"  SELECT url, grp, bit FROM base\n"
+                      f"  LATERAL VIEW explode(array({arr})) t AS bit")
+    else:
+        bits_union = "\n  UNION ALL\n".join(
+            f"  SELECT url, grp, ({e}) AS bit FROM base"
+            for e in bit.values())
     return f"""
 WITH docs AS ({documents_wide_sql(d)}),
 base AS (

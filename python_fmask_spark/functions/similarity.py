@@ -370,6 +370,94 @@ def q_ann_ivf(d: str) -> str:
     cast_var = "string" if d == SPARK else "varchar"
     ch = md5_slice_int(f"concat('ivf_', cast(vec_id as {cast_var}))",
                        1, 4, d)
+    if d == SPARK:
+        # Array-native rendering (r6): centroid seeding/assignment dots
+        # are aggregate/zip_with over the array-kept vectors (no
+        # dim-index equi-joins, no reassembly GROUP BYs); the Lloyd
+        # group-mean keeps the original per-(cid, i) aggregate (the one
+        # genuinely row-grained step) and packs the refined centroid
+        # back into an array via array_sort(collect_list(struct(i, v)));
+        # probe/assign lists come from ONE pass over the ranked
+        # assignment (the declarative form referenced aranked twice,
+        # executing the whole n x K chain per reference); candidates
+        # explode per-centroid member lists. Values are bit-identical:
+        # same sample predicate, same integer dots, same
+        # floor(avg + 0.5) quantization, same tie-breaks.
+        return f"""
+WITH {_intvec_wide_cte(d)},
+cvx AS (
+  SELECT vec_id AS cid, iv FROM vx WHERE ({ch}) % {IVF_CENTROID_MOD} = 0
+),
+adots0 AS (
+  SELECT v.vec_id, c.cid,
+    aggregate(zip_with(v.iv, c.iv, (x, y) -> x * y),
+              cast(0 as bigint), (acc, x) -> acc + x) AS dp
+  FROM vx v CROSS JOIN cvx c
+),
+assign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM adots0) t WHERE rn = 1
+),
+lloyd AS (
+  SELECT a.cid, pe.i,
+    cast(floor(avg(cast(pe.v as double)) + 0.5) as bigint) AS v
+  FROM assign0 a
+  JOIN vx ON vx.vec_id = a.vec_id
+  LATERAL VIEW posexplode(vx.iv) pe AS i, v
+  GROUP BY a.cid, pe.i
+),
+lloyd_wide AS (
+  SELECT cid,
+    transform(array_sort(collect_list(struct(i, v))), s -> s.v) AS civ
+  FROM lloyd GROUP BY cid
+),
+aranked AS (
+  SELECT v.vec_id, l.cid,
+    row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY aggregate(zip_with(v.iv, l.civ, (x, y) -> x * y),
+                         cast(0 as bigint), (acc, x) -> acc + x) DESC,
+               l.cid) AS rn
+  FROM vx v CROSS JOIN lloyd_wide l
+),
+clists AS (
+  SELECT cid,
+    collect_list(case when rn <= {IVF_ASSIGN_REPL} then vec_id end)
+      AS amem,
+    collect_list(case when rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+                 then vec_id end) AS pmem
+  FROM aranked
+  WHERE rn <= {max(IVF_NPROBE, IVF_ASSIGN_REPL)}
+  GROUP BY cid
+),
+cands AS (
+  SELECT DISTINCT query_id, cand_id FROM clists
+  LATERAL VIEW explode(pmem) qe AS query_id
+  LATERAL VIEW explode(amem) ce AS cand_id
+  WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT d.query_id, d.cand_id,
+    cast(round(1000000.0 * d.dot / (sqrt(d.qnrm) * sqrt(d.cnrm)))
+      as bigint) AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY d.query_id
+      ORDER BY cast(d.dot as double) / (sqrt(d.qnrm) * sqrt(d.cnrm)) DESC,
+               d.cand_id) AS rank
+  FROM (
+    SELECT ca.query_id, ca.cand_id,
+      aggregate(zip_with(q.iv, c.iv, (x, y) -> x * y),
+                cast(0 as bigint), (acc, x) -> acc + x) AS dot,
+      q.nrm AS qnrm, c.nrm AS cnrm
+    FROM cands ca
+    JOIN vx q ON q.vec_id = ca.query_id
+    JOIN vx c ON c.vec_id = ca.cand_id
+  ) d
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}"""
     return f"""
 WITH {_intvec_cte(d)},
 cdim AS (

@@ -158,6 +158,39 @@ def q_dup_span_coverage(d: str, k: int = DUP_SPAN_K) -> str:
     h1 = md5_slice_int(f"substr(text, pos, {k})", 1, 8, d)
     h2 = md5_slice_int(f"substr(text, pos, {k})", 9, 8, d)
     frac = idiv("(1000 * cast(sum(is_dup) as bigint))", "count(*)", d)
+    if d == SPARK:
+        # Single execution of the gram stream (r6): pre-aggregate per
+        # (gram, url) — map-side combinable, the standard two-level
+        # replacement for count(DISTINCT url) (guide §2.5) — then a
+        # count() window over the gram partition gives the distinct-doc
+        # count with no self-join and no second derivation of the
+        # explode+md5 subtree (the declarative form below references
+        # `grams` twice and Catalyst executes it per reference).
+        # Identical output: sum(cnt) == count(*) over positions, and
+        # the dup flag weighting by cnt reproduces the per-position
+        # is_dup sum.
+        frac2 = idiv("(1000 * cast(sum(case when n_docs > 1 then cnt "
+                     "else 0 end) as bigint))", "sum(cnt)", d)
+        return f"""
+WITH docs AS ({documents_wide_sql(d, 'documents')}),
+positions AS (
+  SELECT url, text, {gen} FROM docs
+),
+grams AS (
+  SELECT url, {h1} AS g1, {h2} AS g2 FROM positions
+),
+gram_url AS (
+  SELECT g1, g2, url, count(*) AS cnt FROM grams GROUP BY g1, g2, url
+),
+gd AS (
+  SELECT url, cnt, count(*) OVER (PARTITION BY g1, g2) AS n_docs
+  FROM gram_url
+)
+SELECT url, cast(sum(cnt) as bigint) AS n_grams,
+  cast(sum(case when n_docs > 1 then cnt else 0 end) as bigint)
+    AS n_dup_grams,
+  cast({frac2} as bigint) AS dup_frac_milli
+FROM gd GROUP BY url"""
     return f"""
 WITH docs AS ({documents_wide_sql(d, 'documents')}),
 positions AS (

@@ -356,7 +356,8 @@ def classify_distributed(spark: SparkSession, table: str = "documents",
         p3 = _mat("dist_p3", lambda: spark.sql(pipeline.tail_sql_from_pass1(
             view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
             thresholds_view=thr,
-            eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh)))
+            eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh,
+            pass1_cols=(*pipeline._KERNEL_P1_COLS, "cell_rows"))))
 
     # --- stage 1: interim cloud mask, tiled (cloudFinalPass tail)
     raw = p3

@@ -33,6 +33,13 @@ _KERNEL_COLS = ("url", "cell_id", "r", "c", "nir", "bt",
                 "sun_az", "sun_zen", "sat_az", "sat_zen",
                 "sat_az_cdn", "sat_zen_cdn")
 
+# the pass-1-LEVEL subset of _KERNEL_COLS (cloud_raw / g_* are computed
+# by pass 2/3; the rest either ride through or are formula deps added
+# by tail_sql_from_pass1 itself)
+_KERNEL_P1_COLS = ("url", "r", "c", "nir", "snow",
+                   "sun_az", "sun_zen", "sat_az", "sat_zen",
+                   "sat_az_cdn", "sat_zen_cdn")
+
 
 def pass1_sql_text(table: str = "documents", sensor: str = "LANDSAT8",
                    s2_offsets: dict[str, int] | None = None,
@@ -124,6 +131,18 @@ def _snow_skey(nir_snow_thresh: float | None,
             .replace("+", "e").replace("None", "d"))
 
 
+def _offs_skey(s2_offsets: dict[str, int] | None) -> str:
+    """Cache-key/view-name suffix for non-zero Sentinel-2 radiometric
+    offsets: a leaf built with product-XML offsets must never alias the
+    zero-offset leaf (every reflectance differs row-by-row). Empty for
+    None/all-zero so the existing zero-offset view names are stable."""
+    if not s2_offsets or not any(s2_offsets.values()):
+        return ""
+    import hashlib
+    key = ",".join(f"{k}={s2_offsets[k]}" for k in sorted(s2_offsets))
+    return "_off" + hashlib.sha256(key.encode()).hexdigest()[:8]
+
+
 def materialize_pass1(spark: SparkSession, table: str = "documents",
                       reuse: bool = True, runner=None,
                       sensor: str = "LANDSAT8",
@@ -156,6 +175,7 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
     identical either way."""
     skey = sensor + ("_cdi" if s2_cdi else "") \
         + ("_grid" if tile_meta is not None else "") \
+        + _offs_skey(s2_offsets) \
         + _snow_skey(nir_snow_thresh, green_snow_thresh)
     suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_pass1_mat_{table}{suffix}"
@@ -219,10 +239,19 @@ def materialize_pass1(spark: SparkSession, table: str = "documents",
     return view
 
 
+# pass-1 columns the pass-2/pass-3 CTE formulas themselves consume
+# (derive.pass2_sql / pass3_sql); everything else the caller doesn't
+# name in ``pass1_cols`` can be projected away at the leaf.
+_PASS23_DEPS = frozenset((
+    "cell_id", "bt", "ref_swir1", "ref_cirrus", "variability_prob_pcnt",
+    "clear_land", "pcp", "water_test", "nullmask"))
+
+
 def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
                         sensor: str = "LANDSAT8",
                         thresholds_view: str | None = None,
-                        eqn17_cloud_prob_thresh: float | None = None
+                        eqn17_cloud_prob_thresh: float | None = None,
+                        pass1_cols: tuple[str, ...] | None = None
                         ) -> str:
     """Thresholds/pass2/pass3 CTE chain over a materialized pass-1 view.
 
@@ -233,8 +262,26 @@ def tail_sql_from_pass1(pass1_view: str, upto: str, select: str,
     per-cell dim, rows == cells). The Eqn-17 knob renders into the
     pass-2 landthr CTE fresh per query, so a non-default value composes
     with the session-cached pass-1/thresholds leaves (which it does not
-    depend on)."""
-    builders = [f"pass1 AS (SELECT * FROM {pass1_view})",
+    depend on).
+
+    ``pass1_cols`` (r6): the pass-1-level columns the caller's final
+    ``select`` needs. When given, the pass1 CTE projects to
+    pass1_cols | _PASS23_DEPS instead of ``SELECT *`` — the pass-1 leaf
+    is ~70 columns wide and every pass-2/3 layer re-projects ``p.*``,
+    so the analyzer/optimizer otherwise drags the full width through
+    every layer of every consumer's plan (guide §2.3 "project before
+    the exchange" applied at plan-construction time). Requires ``upto``
+    in (pass2, pass3); a name the formulas don't cover fails loudly at
+    analysis."""
+    if pass1_cols:
+        need = set(pass1_cols) | _PASS23_DEPS
+        if thresholds_view is None:
+            # the inline thresholds CTE aggregates these off pass1
+            need |= {"clear_sky_water", "scaled_bt_bin", "scaled_b4_bin"}
+        p1_select = ", ".join(sorted(need))
+    else:
+        p1_select = "*"
+    builders = [f"pass1 AS (SELECT {p1_select} FROM {pass1_view})",
                 (f"thresholds AS (SELECT * FROM {thresholds_view})"
                  if thresholds_view
                  else derive.thresholds_sql(SPARK, sensor=sensor))]
@@ -261,6 +308,7 @@ def materialize_thresholds(spark: SparkSession, table: str = "documents",
     the 6-window-function thresholds CTE."""
     skey = sensor + ("_cdi" if s2_cdi else "") \
         + ("_grid" if tile_meta is not None else "") \
+        + _offs_skey(s2_offsets) \
         + _snow_skey(nir_snow_thresh, green_snow_thresh)
     suffix = "" if skey == "LANDSAT8" else f"_{skey.lower()}"
     view = f"_thr_mat_{table}{suffix}"
@@ -300,7 +348,8 @@ def pass3_df(spark: SparkSession, table: str = "documents",
     return spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
         thresholds_view=thr,
-        eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh))
+        eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh,
+        pass1_cols=_KERNEL_P1_COLS))
 
 
 def interim_class_kernel(spark: SparkSession, table: str = "documents",
@@ -513,7 +562,9 @@ def scene_exchange(spark: SparkSession, table: str = "documents",
     px = spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {PX_EXCHANGE_SQL} FROM pass3",
         sensor=sensor, thresholds_view=thr,
-        eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh))
+        eqn17_cloud_prob_thresh=eqn17_cloud_prob_thresh,
+        pass1_cols=("r", "c", "nir", "snow",
+                    "sat_az_cdn", "sat_zen_cdn")))
     ang = ", ".join(f"first({k}) AS {k}" for k in DIM_COLS[3:])
     # both sides are per-cell (rows == cells); broadcast the aggregated
     # angle side so the dim frame needs no exchange+sort (guide §3.1)
@@ -678,7 +729,8 @@ def classify_auto(spark: SparkSession, table: str = "documents",
     p3_big = (spark.sql(tail_sql_from_pass1(
         view, "pass3", f"SELECT {cols} FROM pass3", sensor=sensor,
         thresholds_view=thr,
-        eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh))
+        eqn17_cloud_prob_thresh=params.eqn17_cloud_prob_thresh,
+        pass1_cols=(*_KERNEL_P1_COLS, "cell_rows")))
         .join(F.broadcast(big), "cell_id", "left_semi")
         .localCheckpoint())
     dig_big = text_digests(spark, table)
