@@ -321,6 +321,67 @@ def q_ngram_jaccard_pairs(d: str, threshold: float = 0.6,
     banded minhash equi-join (linear in docs + candidates); the exact
     intersection is then computed per candidate pair only, by joining
     each side's shingle set through the candidate list."""
+    if not exact and d == SPARK:
+        # Single-derivation Spark rendering (r6): the declarative form
+        # below references `shingles` four times (minhash chain, sizes,
+        # both sides of the intersection join) and the shingle subtree
+        # has no exchange, so Catalyst executes the scan+explode+md5
+        # stream once PER REFERENCE. Here everything derives from ONE
+        # per-url shingle-set aggregate: the 16 minhashes become
+        # integer `aggregate` folds over the set array (min over a set
+        # == the original min over rows), candidates come from the
+        # bucket-grouped bands, and the Jaccard verification is
+        # array_intersect over the two sides' sets — the three
+        # remaining `ssets` references are identical exchange subtrees,
+        # which the runtime collapses via ReuseExchange. collect_set
+        # deduplicates, so the DISTINCT-shingle exchange is dropped
+        # too. Values are bit-identical: i == the per-pair matching-row
+        # count over distinct sets, n == the distinct count, and the
+        # jaccard formula text is unchanged (operand types pinned to
+        # bigint to match the count() originals).
+        mh_exprs = ",\n    ".join(
+            f"aggregate(ss, cast(9223372036854775807 as bigint), "
+            f"(acc, x) -> least(acc, ({_A[i]} * x + {_B[i]}) "
+            f"% {MERSENNE_P})) AS mh{i}"
+            for i in range(N_HASHES))
+        band_case = "case band " + " ".join(
+            f"when {b} then {_band_hash_expr(b, d)}"
+            for b in range(N_BANDS)) + " end"
+        pairs = _bucket_pairs_spark(
+            "bands", "band, band_hash", "url", "url_a", "url_b")
+        return f"""
+WITH {_shingles_cte(d, distinct=False)},
+ssets AS (
+  SELECT url, collect_set(sh) AS ss FROM shingles GROUP BY url
+),
+minhash_wide AS (
+  SELECT url,
+    {mh_exprs}
+  FROM ssets
+),
+bands AS (
+  SELECT url, band, {band_case} AS band_hash
+  FROM (
+    SELECT *, {explode_series('0', str(N_BANDS - 1), 'band', d)}
+    FROM minhash_wide
+  )
+),
+cand_pairs AS (
+{pairs}
+),
+j AS (
+  SELECT cp.url_a, cp.url_b,
+    cast(size(array_intersect(a.ss, b.ss)) as bigint) AS i,
+    cast(size(a.ss) as bigint) AS na,
+    cast(size(b.ss) as bigint) AS nb
+  FROM cand_pairs cp
+  JOIN ssets a ON a.url = cp.url_a
+  JOIN ssets b ON b.url = cp.url_b
+)
+SELECT url_a, url_b,
+  cast(round(1000.0 * i / (na + nb - i)) as int) AS jaccard_milli
+FROM j
+WHERE cast(i as double) / (na + nb - i) >= {threshold}"""
     ctes = _minhash_cte(d)
     if exact:
         cand = """
@@ -328,13 +389,6 @@ cand_pairs AS (
   SELECT DISTINCT a.url AS url_a, b.url AS url_b
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.url < b.url
 )""".strip()
-    elif d == SPARK:
-        # bucket-grouped pair generation: one execution of the
-        # bands subtree instead of two (see _bucket_pairs_spark);
-        # the shingle-set joins below are unchanged
-        inner = _bucket_pairs_spark(
-            "bands", "band, band_hash", "url", "url_a", "url_b")
-        cand = f"cand_pairs AS (\n{inner}\n)"
     else:
         cand = """
 cand_pairs AS (
