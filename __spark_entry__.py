@@ -443,6 +443,12 @@ def _pass2_probthresh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         thresholds_view=thr, eqn17_cloud_prob_thresh=0.3))
 
 
+def _ann_ivf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_fmask_spark.functions.similarity import ann_ivf_frame
+    register_views(spark, sf_dir)
+    return ann_ivf_frame(spark)
+
+
 def _fmask_final_class_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full shadow-chain classify under the Sentinel-2 NO-THERMAL
     regime: thermal probability terms degenerate to 1, cloudmask3 off,
@@ -937,6 +943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracle.S2_ZERO_OFFSETS)
     out["fmask_interim_class_s2_offset"] = _interim_class_s2_kernel(
         _s2_fixture_offsets())
+    # IVF on the NumPy-matmul assignment kernel (r6; the n x K dot
+    # passes are one integer matmul per Arrow batch — see
+    # similarity.ann_ivf_frame); oracle keeps the declarative SQL
+    out["ann_ivf"] = _ann_ivf_frame
     # DataFrame-loop / composite operators with full SQL oracles
     out["dedup_clusters"] = _dedup_clusters
     out["corpus_curate"] = _corpus_curate

@@ -616,3 +616,135 @@ ranked AS (
 )
 SELECT query_id, cand_id, rank, cosine_micro
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def ann_ivf_frame(spark):
+    """DataFrame rendering of the IVF query (Spark side of the
+    ``ann_ivf`` board row; the DuckDB oracle keeps the declarative SQL).
+
+    The two n x K dot-product passes (seed assignment, refined-centroid
+    ranking) are the whole cost of IVF, and per-element SQL lambdas
+    interpret them row-by-row (measured: 90 s at 20k vectors x 625
+    centroids). Here each pass is ONE integer NumPy matmul per Arrow
+    batch inside ``mapInPandas`` (guide §4.2: let Spark do distribution,
+    hand the batch math to native code): exact int64 arithmetic, so dp
+    values are bit-identical, and tie-breaks replicate row_number's
+    (dp DESC, cid ASC) via first-max / stable argsort over
+    cid-ascending centroid columns. The Lloyd group-mean and the
+    probe/rerank tail stay in SQL, textually identical to the SQL
+    rendering.
+
+    Scale notes: the centroid matrix is a broadcast dim BY DESIGN in
+    IVF (K << n; the fixture's K = n/{IVF_CENTROID_MOD} stays
+    driver-small at test scale, and a production K ~ sqrt(n) stays
+    broadcastable at any n); the corpus rides mapInPandas once per
+    pass with only (vec_id, iv) crossing the Arrow boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from ..dialect import md5_slice_int
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    d = SPARK
+    vx = spark.sql(
+        f"WITH {_intvec_wide_cte(d)} SELECT vec_id, iv, nrm FROM vx"
+    ).localCheckpoint()
+    vx.createOrReplaceTempView("_ivf_vx")
+    ch = md5_slice_int("concat('ivf_', cast(vec_id as string))", 1, 4, d)
+    cents = (spark.sql(
+        f"SELECT vec_id AS cid, iv FROM _ivf_vx "
+        f"WHERE ({ch}) % {IVF_CENTROID_MOD} = 0")
+        .orderBy("cid").collect())
+    cids0 = np.array([r.cid for r in cents], dtype=np.int64)
+    c0 = np.array([list(r.iv) for r in cents], dtype=np.int64)
+    bc0 = spark.sparkContext.broadcast((cids0, c0))
+
+    def assign_top1(batches):
+        cids, cm = bc0.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["iv"].tolist(), dtype=np.int64)
+            dp = vm @ cm.T
+            # first max along cid-ascending columns == (dp DESC, cid ASC)
+            j = np.argmax(dp, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "cid": cids[j]})
+
+    (vx.select("vec_id", "iv")
+       .mapInPandas(assign_top1, schema="vec_id bigint, cid bigint")
+       .createOrReplaceTempView("_ivf_assign0"))
+    lloyd_rows = spark.sql("""
+      WITH lloyd AS (
+        SELECT a.cid, pe.i,
+          cast(floor(avg(cast(pe.v as double)) + 0.5) as bigint) AS v
+        FROM _ivf_assign0 a
+        JOIN _ivf_vx vx ON vx.vec_id = a.vec_id
+        LATERAL VIEW posexplode(vx.iv) pe AS i, v
+        GROUP BY a.cid, pe.i
+      )
+      SELECT cid,
+        transform(array_sort(collect_list(struct(i, v))), s -> s.v) AS civ
+      FROM lloyd GROUP BY cid""").orderBy("cid").collect()
+    cids1 = np.array([r.cid for r in lloyd_rows], dtype=np.int64)
+    c1 = np.array([list(r.civ) for r in lloyd_rows], dtype=np.int64)
+    bc1 = spark.sparkContext.broadcast((cids1, c1))
+    rmax = max(IVF_NPROBE, IVF_ASSIGN_REPL)
+
+    def rank_top(batches):
+        cids, cm = bc1.value
+        k = min(rmax, len(cids))
+        ranks = np.arange(1, k + 1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["iv"].tolist(), dtype=np.int64)
+            dp = vm @ cm.T
+            idx = np.argsort(-dp, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                "cid": cids[idx].ravel(),
+                "rn": np.tile(ranks, len(vm)).astype(np.int32),
+            })
+
+    (vx.select("vec_id", "iv")
+       .mapInPandas(rank_top, schema="vec_id bigint, cid bigint, rn int")
+       .createOrReplaceTempView("_ivf_aranked"))
+    return spark.sql(f"""
+WITH clists AS (
+  SELECT cid,
+    collect_list(case when rn <= {IVF_ASSIGN_REPL} then vec_id end)
+      AS amem,
+    collect_list(case when rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+                 then vec_id end) AS pmem
+  FROM _ivf_aranked
+  WHERE rn <= {rmax}
+  GROUP BY cid
+),
+cands AS (
+  SELECT DISTINCT query_id, cand_id FROM clists
+  LATERAL VIEW explode(pmem) qe AS query_id
+  LATERAL VIEW explode(amem) ce AS cand_id
+  WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT d.query_id, d.cand_id,
+    cast(round(1000000.0 * d.dot / (sqrt(d.qnrm) * sqrt(d.cnrm)))
+      as bigint) AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY d.query_id
+      ORDER BY cast(d.dot as double) / (sqrt(d.qnrm) * sqrt(d.cnrm)) DESC,
+               d.cand_id) AS rank
+  FROM (
+    SELECT ca.query_id, ca.cand_id,
+      aggregate(zip_with(q.iv, c.iv, (x, y) -> x * y),
+                cast(0 as bigint), (acc, x) -> acc + x) AS dot,
+      q.nrm AS qnrm, c.nrm AS cnrm
+    FROM cands ca
+    JOIN _ivf_vx q ON q.vec_id = ca.query_id
+    JOIN _ivf_vx c ON c.vec_id = ca.cand_id
+  ) d
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}""")
