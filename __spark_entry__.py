@@ -384,11 +384,8 @@ def _fmask_interim_class_s2_cdi(spark: SparkSession, sf_dir: str
     # class from the MAJORITY buffer (cloud_m == cloudbuf AND NOT null),
     # matching the S2 interim oracle form (q_fmask_interim_class_s2's
     # CASE uses cloudbuf_flag, not the dilated mask)
-    df = df.selectExpr(
-        "url", "cell_id", "r", "c",
-        "cast(case when nullmask then 0 when cloud_m then 2 "
-        "when snow then 4 when water_test then 5 else 1 end as int)"
-        " AS fmask_class")
+    df = df.selectExpr("url", "cell_id", "r", "c",
+                       _S2_INTERIM_CLASS_EXPR)
     leaf = pipeline.materialize_pass1(
         spark, sensor="SENTINEL2", s2_offsets=oracle.S2_ZERO_OFFSETS,
         s2_cdi=True)
@@ -400,7 +397,15 @@ def _fmask_interim_class_s2_cdi(spark: SparkSession, sf_dir: str
                     "pcp_i", "clear_land_i"))
 
 
-def _interim_class_s2_kernel(offs: dict[str, int]):
+# the S2 interim oracle's OUTCODE CASE (majority flag, not the dilated
+# mask) — single definition shared by the S2 and S2+CDI kernel rows
+_S2_INTERIM_CLASS_EXPR = (
+    "cast(case when nullmask then 0 when cloud_m then 2 "
+    "when snow then 4 when water_test then 5 else 1 end as int)"
+    " AS fmask_class")
+
+
+def _interim_class_s2_kernel(offs):
     """Kernel-path Spark side for the S2 interim rows (r6): the raw SQL
     rendering ran the 3x3 majority as a 9-offset self-join over the full
     pass-1..3 derivation (measured 14-16 s/run at sf0.1); the fused
@@ -408,16 +413,19 @@ def _interim_class_s2_kernel(offs: dict[str, int]):
     and matched 47x faster. Same class CASE as the oracle
     (q_fmask_interim_class_s2 uses the majority flag, not the dilated
     mask); the oracle rendering is unchanged, so the driver compare
-    still proves kernel == SQL under the S2 regime."""
+    still proves kernel == SQL under the S2 regime.
+
+    ``offs`` may be a dict or a zero-arg callable resolved per
+    invocation — the callable keeps fixture parsing OUT of queries()
+    construction, so a missing/corrupt fixture XML fails only this row,
+    not the whole board."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
+        o = offs() if callable(offs) else offs
         df = pipeline.interim_class_kernel(spark, sensor="SENTINEL2",
-                                           s2_offsets=offs)
-        return df.selectExpr(
-            "url", "cell_id", "r", "c",
-            "cast(case when nullmask then 0 when cloud_m then 2 "
-            "when snow then 4 when water_test then 5 else 1 end as int)"
-            " AS fmask_class")
+                                           s2_offsets=o)
+        return df.selectExpr("url", "cell_id", "r", "c",
+                             _S2_INTERIM_CLASS_EXPR)
     return run
 
 
@@ -942,7 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fmask_interim_class_s2"] = _interim_class_s2_kernel(
         oracle.S2_ZERO_OFFSETS)
     out["fmask_interim_class_s2_offset"] = _interim_class_s2_kernel(
-        _s2_fixture_offsets())
+        _s2_fixture_offsets)
     # IVF on the NumPy-matmul assignment kernel (r6; the n x K dot
     # passes are one integer matmul per Arrow batch — see
     # similarity.ann_ivf_frame); oracle keeps the declarative SQL

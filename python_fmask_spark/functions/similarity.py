@@ -293,6 +293,34 @@ JOIN norms nb ON nb.vec_id = d.id_b
 WHERE cast(d.dot as double) / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {threshold}"""
 
 
+def _rerank_tail_wide(vx_table: str = "vx") -> str:
+    """Spark-only: the exact-cosine re-rank over a
+    ``cands(query_id, cand_id)`` CTE with ARRAY-kept vectors in
+    ``vx_table`` — one definition so the lsh/ivf/frame renderings
+    cannot drift apart (tie-breaks and rounding must stay in lockstep
+    with the DuckDB oracle)."""
+    return f"""ranked AS (
+  SELECT d.query_id, d.cand_id,
+    cast(round(1000000.0 * d.dot / (sqrt(d.qnrm) * sqrt(d.cnrm)))
+      as bigint) AS cosine_micro,
+    row_number() OVER (
+      PARTITION BY d.query_id
+      ORDER BY cast(d.dot as double) / (sqrt(d.qnrm) * sqrt(d.cnrm)) DESC,
+               d.cand_id) AS rank
+  FROM (
+    SELECT ca.query_id, ca.cand_id,
+      aggregate(zip_with(q.iv, c.iv, (x, y) -> x * y),
+                cast(0 as bigint), (acc, x) -> acc + x) AS dot,
+      q.nrm AS qnrm, c.nrm AS cnrm
+    FROM cands ca
+    JOIN {vx_table} q ON q.vec_id = ca.query_id
+    JOIN {vx_table} c ON c.vec_id = ca.cand_id
+  ) d
+)
+SELECT query_id, cand_id, rank, cosine_micro
+FROM ranked WHERE rank <= {TOP_K}""".strip()
+
+
 def _rerank_tail(d: str) -> str:
     """Shared exact-cosine re-rank over a ``cands(query_id, cand_id)``
     CTE: integer dot products, deterministic rounding, top-k window."""
@@ -438,26 +466,7 @@ cands AS (
   LATERAL VIEW explode(amem) ce AS cand_id
   WHERE query_id <> cand_id
 ),
-ranked AS (
-  SELECT d.query_id, d.cand_id,
-    cast(round(1000000.0 * d.dot / (sqrt(d.qnrm) * sqrt(d.cnrm)))
-      as bigint) AS cosine_micro,
-    row_number() OVER (
-      PARTITION BY d.query_id
-      ORDER BY cast(d.dot as double) / (sqrt(d.qnrm) * sqrt(d.cnrm)) DESC,
-               d.cand_id) AS rank
-  FROM (
-    SELECT ca.query_id, ca.cand_id,
-      aggregate(zip_with(q.iv, c.iv, (x, y) -> x * y),
-                cast(0 as bigint), (acc, x) -> acc + x) AS dot,
-      q.nrm AS qnrm, c.nrm AS cnrm
-    FROM cands ca
-    JOIN vx q ON q.vec_id = ca.query_id
-    JOIN vx c ON c.vec_id = ca.cand_id
-  ) d
-)
-SELECT query_id, cand_id, rank, cosine_micro
-FROM ranked WHERE rank <= {TOP_K}"""
+{_rerank_tail_wide()}"""
     return f"""
 WITH {_intvec_cte(d)},
 cdim AS (
@@ -563,26 +572,7 @@ cands AS (
   LATERAL VIEW explode(_us) ce AS cand_id
   WHERE query_id <> cand_id
 ),
-ranked AS (
-  SELECT d.query_id, d.cand_id,
-    cast(round(1000000.0 * d.dot / (sqrt(d.qnrm) * sqrt(d.cnrm)))
-      as bigint) AS cosine_micro,
-    row_number() OVER (
-      PARTITION BY d.query_id
-      ORDER BY cast(d.dot as double) / (sqrt(d.qnrm) * sqrt(d.cnrm)) DESC,
-               d.cand_id) AS rank
-  FROM (
-    SELECT ca.query_id, ca.cand_id,
-      aggregate(zip_with(q.iv, c.iv, (x, y) -> x * y),
-                cast(0 as bigint), (acc, x) -> acc + x) AS dot,
-      q.nrm AS qnrm, c.nrm AS cnrm
-    FROM cands ca
-    JOIN vx q ON q.vec_id = ca.query_id
-    JOIN vx c ON c.vec_id = ca.cand_id
-  ) d
-)
-SELECT query_id, cand_id, rank, cosine_micro
-FROM ranked WHERE rank <= {TOP_K}"""
+{_rerank_tail_wide()}"""
     return f"""
 WITH {_intvec_cte(d)},
 {_bands_cte(d, ANN_PLANES, ANN_BANDS)},
@@ -638,7 +628,13 @@ def ann_ivf_frame(spark):
     IVF (K << n; the fixture's K = n/{IVF_CENTROID_MOD} stays
     driver-small at test scale, and a production K ~ sqrt(n) stays
     broadcastable at any n); the corpus rides mapInPandas once per
-    pass with only (vec_id, iv) crossing the Arrow boundary."""
+    pass with only (vec_id, iv) crossing the Arrow boundary. The
+    checkpoint + two broadcasts live until the session drops them —
+    one build per invocation, sized vectors x 64 x 8 B; callers that
+    loop it at bench scale should reuse the returned frame. Assumes the
+    generator's fixed-dimension embedding contract (as does every
+    array rendering in this module; the exploded oracle would instead
+    sum over common dims for ragged inputs)."""
     import numpy as np
     import pandas as pd
 
@@ -656,6 +652,11 @@ def ann_ivf_frame(spark):
         f"SELECT vec_id AS cid, iv FROM _ivf_vx "
         f"WHERE ({ch}) % {IVF_CENTROID_MOD} = 0")
         .orderBy("cid").collect())
+    if not cents:
+        # degenerate corpus where the md5 sample selects no centroid:
+        # the declarative rendering handles it (empty cdim -> empty
+        # result) where shape-(0,) matmuls would raise; fall back.
+        return spark.sql(q_ann_ivf(d))
     cids0 = np.array([r.cid for r in cents], dtype=np.int64)
     c0 = np.array([list(r.iv) for r in cents], dtype=np.int64)
     bc0 = spark.sparkContext.broadcast((cids0, c0))
@@ -728,23 +729,4 @@ cands AS (
   LATERAL VIEW explode(amem) ce AS cand_id
   WHERE query_id <> cand_id
 ),
-ranked AS (
-  SELECT d.query_id, d.cand_id,
-    cast(round(1000000.0 * d.dot / (sqrt(d.qnrm) * sqrt(d.cnrm)))
-      as bigint) AS cosine_micro,
-    row_number() OVER (
-      PARTITION BY d.query_id
-      ORDER BY cast(d.dot as double) / (sqrt(d.qnrm) * sqrt(d.cnrm)) DESC,
-               d.cand_id) AS rank
-  FROM (
-    SELECT ca.query_id, ca.cand_id,
-      aggregate(zip_with(q.iv, c.iv, (x, y) -> x * y),
-                cast(0 as bigint), (acc, x) -> acc + x) AS dot,
-      q.nrm AS qnrm, c.nrm AS cnrm
-    FROM cands ca
-    JOIN _ivf_vx q ON q.vec_id = ca.query_id
-    JOIN _ivf_vx c ON c.vec_id = ca.cand_id
-  ) d
-)
-SELECT query_id, cand_id, rank, cosine_micro
-FROM ranked WHERE rank <= {TOP_K}""")
+{_rerank_tail_wide('_ivf_vx')}""")

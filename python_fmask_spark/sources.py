@@ -21,11 +21,13 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-# (path, file-identity) -> measured scan split count. Computing the
-# split count costs a plan->RDD conversion (~0.1 s/table); caching it on
-# the file identity makes repeated register_views calls (one per driver
-# query) pay it once per actual input, and a rewritten file re-measures.
-_SPLITS_CACHE: dict[tuple[str, str], int] = {}
+# (path, file-identity, reader-conf) -> measured scan split count.
+# Computing the split count costs a plan->RDD conversion (~0.1 s/table);
+# caching it on the file identity makes repeated register_views calls
+# (one per driver query) pay it once per actual input, a rewritten file
+# re-measures, and the conf component keeps sessions with different
+# split settings from sharing a measurement.
+_SPLITS_CACHE: dict[tuple[str, str, str], int] = {}
 
 
 def _file_identity(path: str) -> str:
@@ -58,7 +60,19 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame,
     target = spark.sparkContext.defaultParallelism
     key = None
     if path is not None:
-        key = (path, _file_identity(path))
+        # fold the split-relevant reader conf into the key: the split
+        # count depends on maxPartitionBytes/openCost, so a second
+        # session in this process with different settings must not
+        # reuse the first session's measurement
+        def _cget(c: str) -> str:
+            try:
+                return spark.conf.get(c)
+            except Exception:
+                return "?"
+        conf = "|".join(_cget(c)
+                        for c in ("spark.sql.files.maxPartitionBytes",
+                                  "spark.sql.files.openCostInBytes"))
+        key = (path, _file_identity(path), conf)
         n = _SPLITS_CACHE.get(key, -1)
         if n >= 0:
             return df.repartition(target) if 0 < n < target else df
@@ -103,17 +117,7 @@ def _input_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
     parts = [sf_dir]
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        try:
-            st = os.stat(path)
-            if os.path.isdir(path):
-                sub = sorted(os.scandir(path), key=lambda e: e.name)
-                parts.append(f"{name}:" + ",".join(
-                    f"{e.stat().st_mtime_ns}/{e.stat().st_size}"
-                    for e in sub))
-            else:
-                parts.append(f"{name}:{st.st_mtime_ns}/{st.st_size}")
-        except OSError:
-            parts.append(f"{name}:absent")
+        parts.append(f"{name}:{_file_identity(path)}")
     return "|".join(parts)
 
 
