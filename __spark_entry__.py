@@ -335,7 +335,13 @@ def _fmask_final_class_runner(spark: SparkSession, sf_dir: str
         # stage tables still exist, then the row-count assert is a
         # cheap count over the checkpointed RDD, and the workdir can go
         out = resumed.selectExpr(*cols).localCheckpoint()
-        assert out.count() == n_first, "resume changed the row count"
+        # explicit raise, not `assert`: python -O strips asserts and
+        # would silently drop the resume-specific parity signal
+        n_resumed = out.count()
+        if n_resumed != n_first:
+            raise RuntimeError(
+                f"resume changed the row count: {n_first} staged vs "
+                f"{n_resumed} resumed")
     finally:
         shutil.rmtree(wd, ignore_errors=True)
     return out

@@ -23,6 +23,15 @@ Prints per-class counts as one JSON line. ``--tempdir`` routes the
 distributed path through StageRunner stage tables (resumable, the
 reference's keepintermediates/tempdir lifecycle); ``-o/--output``
 writes the mask through the thematic sink (plans/sinks.write_mask).
+
+Precedence note (deliberate inversion vs the reference): the reference
+applies setStrictFmask AFTER all other config setters
+(fmask/fmask.py:151-154), so there strict buffers would win over
+explicit distances; the reference CLI does not expose strict at all.
+Here ``--strict`` is a PRESET and explicit
+``--cloudbufferdistance``/``--shadowbufferdistance`` override it —
+an extension flag should not silently discard flags the user typed.
+Future reference-parity audits: this is by design, not a bug.
 """
 
 from __future__ import annotations
@@ -52,7 +61,13 @@ def get_cmdargs(argv=None):
     p.add_argument("-e", "--tempdir", default="",
                    help="Stage-table workdir: distributed stages become "
                         "fingerprinted, crash-resumable parquet tables "
-                        "(the reference's tempdir/keepintermediates)")
+                        "(the reference's tempdir/keepintermediates). "
+                        "Known gap: with --parallaxtest the CDI-"
+                        "modified pass-1 frame itself is rebuilt on "
+                        "resume (only the post-pass-1 stages are "
+                        "staged); correctness is unaffected — the cdi "
+                        "token in the stage fingerprint prevents stale "
+                        "aliasing")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Print per-stage progress to stderr")
     p.add_argument("--granule-xml", default="",
@@ -112,6 +127,14 @@ def get_cmdargs(argv=None):
         # reference gates the CDI test to S2 (sentinel2Stacked only);
         # reject at parse time, before any SparkSession spins up
         p.error("--parallaxtest requires --sensor SENTINEL2")
+    # same gate for the two S2 XML sources: they are only parsed inside
+    # the SENTINEL2 branch of main(), so accepting them with another
+    # sensor would silently produce a different product than the user
+    # asked for
+    for flag, val in (("--granule-xml", args.granule_xml),
+                      ("--product-xml", args.product_xml)):
+        if val and args.sensor != "SENTINEL2":
+            p.error(f"{flag} requires --sensor SENTINEL2")
     return args
 
 

@@ -190,3 +190,15 @@ def test_parallaxtest_cli_flag(capsys):
         get_cmdargs(["sf", "--parallaxtest"])  # default sensor LANDSAT8
     assert ei.value.code == 2
     assert "--parallaxtest requires" in capsys.readouterr().err
+
+    # the S2 XML sources get the same parse-time gate (they are only
+    # consumed by the SENTINEL2 branch; silently accepting them with
+    # another sensor would yield a silently different product)
+    for flag in ("--granule-xml", "--product-xml"):
+        with pytest.raises(SystemExit) as ei:
+            get_cmdargs(["sf", flag, "/tmp/x.xml"])  # default LANDSAT8
+        assert ei.value.code == 2
+        assert f"{flag} requires" in capsys.readouterr().err
+        ok = get_cmdargs(["sf", "--sensor", "SENTINEL2",
+                          flag, "/tmp/x.xml"])
+        assert getattr(ok, flag[2:].replace("-", "_")) == "/tmp/x.xml"
